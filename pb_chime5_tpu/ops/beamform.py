@@ -1,0 +1,236 @@
+"""Mask-based beamformers (batched over frequency, jittable).
+
+Rebuilds the pb_bss.extraction.beamformer capabilities used by the
+reference wrapper (pb_chime5/speech_enhancement/beamforming_wrapper.py):
+
+* masked power-spectral-density matrices,
+* MVDR in the Souden formulation with SNR-optimal global reference-channel
+  selection,
+* blind analytic normalization (BAN) postgain,
+* GEV (max-SNR) beamformer — the reference calls a Cython/LAPACK
+  generalized-eig loop (`force_cython=True`, wrapper:79); here it is a
+  batched Cholesky-whitening + Hermitian eigh, which XLA runs batched over
+  all frequencies at once,
+* LCMV with a target and an interference constraint,
+* mask condensation over channels by median
+  (`morph('DTF->FT', reduce=np.median)`, wrapper:27-34).
+
+Shapes follow the wrapper's internal convention: Y (F, D, T), masks (F, T),
+beamforming vectors (F, D), output (F, T).
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from pb_chime5_tpu.ops.linalg import hermitize, stable_solve, eye_like
+
+__all__ = [
+    'condense_mask',
+    'psd_matrix',
+    'mvdr_souden_vector',
+    'gev_vector',
+    'lcmv_vector',
+    'blind_analytic_normalization',
+    'apply_beamforming_vector',
+    'beamform_mvdr_souden_from_masks',
+    'beamform_gev_from_masks',
+    'beamform_lcmv_from_masks',
+]
+
+
+def condense_mask(mask):
+    """Mask (..., D, T, F) or (T, F) -> (F, T).
+
+    Channel axes are reduced by median, matching the reference's
+    ``morph('DTF->FT', mask, reduce=np.median)`` (wrapper:27-34).
+    """
+    mask = jnp.asarray(mask)
+    if mask.ndim == 2:                    # (T, F)
+        return mask.T
+    if mask.ndim == 3:                    # (D, T, F)
+        return jnp.median(mask, axis=0).T
+    if mask.ndim == 4:                    # (1, D, T, F)
+        return jnp.median(mask[0], axis=0).T
+    raise NotImplementedError(mask.shape)
+
+
+def _to_fdt(Y):
+    """Y (D, T, F) or (1, D, T, F) -> (F, D, T) (wrapper:21-24)."""
+    Y = jnp.asarray(Y)
+    if Y.ndim == 4:
+        Y = Y[0]
+    return jnp.transpose(Y, (2, 0, 1))
+
+
+def psd_matrix(Y, mask=None):
+    """Masked PSD:  Phi_f = sum_t m_ft y_ft y_ft^H / sum_t m_ft.
+
+    Y (F, D, T), mask (F, T) real -> (F, D, D).
+    """
+    Y = jnp.asarray(Y)
+    if mask is None:
+        mask = jnp.ones(Y.shape[:1] + Y.shape[2:], dtype=Y.real.dtype)
+    mask = jnp.asarray(mask, dtype=Y.real.dtype)
+    weighted = Y * mask[:, None, :].astype(Y.dtype)
+    psd = jnp.einsum('fdt,fet->fde', weighted, Y.conj())
+    norm = jnp.maximum(jnp.sum(mask, axis=-1), jnp.finfo(mask.dtype).tiny)
+    return psd / norm[:, None, None].astype(Y.dtype)
+
+
+def _snr_optimal_reference_channel(w_mat, cov_x, cov_n, eps):
+    """Reference channel maximizing the frequency-summed output SNR.
+
+    w_mat (F, D, R): candidate beamformers (one per reference channel R).
+    Returns a scalar int channel index (pb_bss
+    ``get_optimal_reference_channel`` semantics: numerator and denominator
+    each summed over frequency *and* channels before the ratio).
+    """
+    num = jnp.einsum('fdr,fde,fer->r', w_mat.conj(), cov_x, w_mat).real
+    den = jnp.einsum('fdr,fde,fer->r', w_mat.conj(), cov_n, w_mat).real
+    snr = num / jnp.maximum(den, eps)
+    return jnp.argmax(snr)
+
+
+def mvdr_souden_vector(cov_x, cov_n, *, eps=1e-10, ref_channel=None,
+                       return_ref_channel=False):
+    """MVDR (Souden):  w = (Phi_N^{-1} Phi_X / tr(Phi_N^{-1} Phi_X)) e_ref.
+
+    cov_x, cov_n (F, D, D) -> w (F, D).  When ``ref_channel`` is None the
+    SNR-optimal global reference channel is selected (one index shared by
+    all frequencies, like pb_bss).
+    """
+    phi = stable_solve(cov_n, cov_x)
+    lam = jnp.trace(phi, axis1=-2, axis2=-1).real[..., None, None]
+    mat = phi / jnp.maximum(lam, eps).astype(phi.dtype)
+    if ref_channel is None:
+        ref_channel = _snr_optimal_reference_channel(mat, cov_x, cov_n, eps)
+    w = jnp.take(mat, ref_channel, axis=-1)
+    if return_ref_channel:
+        return w, ref_channel
+    return w
+
+
+def gev_vector(cov_x, cov_n, *, eps_scale=1e-10):
+    """GEV / max-SNR beamformer: dominant generalized eigenvector of
+    (Phi_X, Phi_N), via Cholesky whitening + Hermitian eigh.
+
+    Normalization matches a generalized-eig solver's B-orthonormal
+    convention: w^H Phi_N w = 1.
+    """
+    d = cov_x.shape[-1]
+    tr = jnp.trace(cov_n, axis1=-2, axis2=-1).real
+    jitter = jnp.maximum(tr / d, jnp.finfo(tr.dtype).tiny) * eps_scale
+    cov_n_reg = hermitize(cov_n) + jitter[..., None, None].astype(
+        cov_n.dtype) * eye_like(cov_n)
+    L = jnp.linalg.cholesky(cov_n_reg)
+    Linv = jax.scipy.linalg.solve_triangular(
+        L, eye_like(L), lower=True)
+    # Whitened target PSD: A = L^{-1} Phi_X L^{-H}
+    A = hermitize(Linv @ cov_x @ Linv.conj().swapaxes(-2, -1))
+    _, ev = jnp.linalg.eigh(A)
+    u = ev[..., -1]                                   # dominant eigvec
+    w = jnp.einsum('fed,fe->fd', Linv.conj(), u)      # w = L^{-H} u
+    # Fix the per-frequency arbitrary phase: rotate so the projection onto
+    # the first channel is real-positive (deterministic, like LAPACK's
+    # convention is in practice).
+    phase = jnp.exp(-1j * jnp.angle(
+        jnp.take(w, 0, axis=-1)))[..., None].astype(w.dtype)
+    return w * phase
+
+
+def lcmv_vector(cov_x, cov_i, cov_n, *, eps=1e-10):
+    """LCMV with unit response toward the target subspace and a null toward
+    the interference subspace:
+
+        w = Phi_N^{-1} C (C^H Phi_N^{-1} C)^{-1} g,   g = [1, 0]
+
+    where the columns of C are the dominant eigenvectors of Phi_X and
+    Phi_I.  Same capability as pb_bss ``get_lcmv_vector_souden`` as used by
+    the reference wrapper (wrapper:127-171); the constraint directions are
+    estimated from the mask PSDs.
+    """
+    def principal(cov):
+        _, ev = jnp.linalg.eigh(hermitize(cov))
+        return ev[..., -1]
+
+    a_x = principal(cov_x)
+    a_i = principal(cov_i)
+    C = jnp.stack([a_x, a_i], axis=-1)                    # (F, D, 2)
+    d = cov_n.shape[-1]
+    tr = jnp.trace(cov_n, axis1=-2, axis2=-1).real
+    jitter = jnp.maximum(tr / d, jnp.finfo(tr.dtype).tiny) * eps
+    cov_n_reg = hermitize(cov_n) + jitter[..., None, None].astype(
+        cov_n.dtype) * eye_like(cov_n)
+    ninv_c = stable_solve(cov_n_reg, C)                   # (F, D, 2)
+    gram = C.conj().swapaxes(-2, -1) @ ninv_c             # (F, 2, 2)
+    g = jnp.zeros((*gram.shape[:-2], 2, 1), dtype=gram.dtype)
+    g = g.at[..., 0, 0].set(1.0)
+    coef = stable_solve(gram, g)                          # (F, 2, 1)
+    return (ninv_c @ coef)[..., 0]
+
+
+def blind_analytic_normalization(w, cov_n):
+    """BAN postgain:  w *= sqrt(w^H Phi_N^2 w / D) / (w^H Phi_N w).
+
+    Matches pb_bss ``blind_analytic_normalization`` (see SURVEY.md 2.9).
+    """
+    d = w.shape[-1]
+    nw = jnp.einsum('fde,fe->fd', cov_n, w)
+    numerator = jnp.sqrt(jnp.abs(
+        jnp.einsum('fd,fd->f', w.conj(), jnp.einsum('fde,fe->fd', cov_n, nw))
+        / d))
+    denominator = jnp.abs(jnp.einsum('fd,fd->f', w.conj(), nw))
+    gain = numerator / jnp.maximum(denominator,
+                                   jnp.finfo(numerator.dtype).tiny)
+    return w * gain[..., None].astype(w.dtype)
+
+
+def apply_beamforming_vector(w, Y):
+    """x_hat_ft = sum_d w*_fd y_fdt.   w (F, D), Y (F, D, T) -> (F, T)."""
+    return jnp.einsum('fd,fdt->ft', w.conj(), Y)
+
+
+# ---------------------------------------------------------------------------
+# from-masks entry points (wrapper-level API, reference wrapper:108-208)
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.jit, static_argnames=('ban',))
+def beamform_mvdr_souden_from_masks(Y, X_mask, N_mask, *, ban=True):
+    """Y (D, T, F) (or (1, D, T, F)), masks broadcastable per
+    ``condense_mask`` -> enhanced spectrogram (T, F)."""
+    Yf = _to_fdt(Y)
+    x_mask = condense_mask(X_mask)
+    n_mask = condense_mask(N_mask)
+    cov_x = psd_matrix(Yf, x_mask)
+    cov_n = psd_matrix(Yf, n_mask)
+    w = mvdr_souden_vector(cov_x, cov_n, eps=1e-10)
+    if ban:
+        w = blind_analytic_normalization(w, cov_n)
+    return apply_beamforming_vector(w, Yf).T
+
+
+@functools.partial(jax.jit, static_argnames=('ban',))
+def beamform_gev_from_masks(Y, X_mask, N_mask, *, ban=True):
+    Yf = _to_fdt(Y)
+    x_mask = condense_mask(X_mask)
+    n_mask = condense_mask(N_mask)
+    cov_x = psd_matrix(Yf, x_mask)
+    cov_n = psd_matrix(Yf, n_mask)
+    w = gev_vector(cov_x, cov_n)
+    if ban:
+        w = blind_analytic_normalization(w, cov_n)
+    return apply_beamforming_vector(w, Yf).T
+
+
+@functools.partial(jax.jit, static_argnames=('ban',))
+def beamform_lcmv_from_masks(Y, X_mask, I_mask, N_mask, *, ban=False):
+    Yf = _to_fdt(Y)
+    cov_x = psd_matrix(Yf, condense_mask(X_mask))
+    cov_i = psd_matrix(Yf, condense_mask(I_mask))
+    cov_n = psd_matrix(Yf, condense_mask(N_mask))
+    w = lcmv_vector(cov_x, cov_i, cov_n)
+    if ban:
+        w = blind_analytic_normalization(w, cov_i + cov_n)
+    return apply_beamforming_vector(w, Yf).T

@@ -1,0 +1,268 @@
+"""Complex angular-central-Gaussian mixture model EM — the "GSS" core.
+
+TPU-native rebuild of the capability of pb_bss.distribution.CACGMMTrainer as
+driven by the reference GSS block (pb_chime5/core.py:144-214):
+
+* observations are unit-normalized channel vectors z = y / ||y|| in C^D,
+* class k has an ACG density  p(z | B_k) ∝ |B_k|^{-1} (z^H B_k^{-1} z)^{-D},
+* E-step:  gamma_kt ∝ alpha_k |B_k|^{-1} q_kt^{-D}, zeroed outside the
+  ``source_activity_mask``, renormalized over k,
+* M-step:  B_k = D * sum_t (gamma_kt / q_kt) z_t z_t^H / sum_t gamma_kt,
+  with Hermitian symmetrization and eigenvalue/diagonal flooring for
+  conditioning (the ACG density is invariant to scaling of B, so the exact
+  conditioning scheme only affects numerics, not the model),
+* mixture weights are time-constant per class, alpha_k ∝ sum_t gamma_kt.
+
+Iteration structure mirrors the reference exactly
+(pb_chime5/core.py:180-202 together with the pb_bss fit loop):
+``fit(initialization=affiliations, iterations=I)`` performs
+M, (E, M) x (I - 1); afterwards
+
+* ``iterations_post == 0``: one masked E-step produces the posterior,
+* ``iterations_post == 1``: one *unmasked* E-step produces the posterior,
+* ``iterations_post > 1``: (E_unmasked, M) x (post - 1), then one unmasked
+  E-step.
+
+The init floor (activity == 0 -> 1e-10, normalized over classes,
+pb_chime5/core.py:156-160) is applied inside ``make_initialization``.
+
+The reference loops the 513 frequency bins in Python
+(pb_chime5/core.py:171-206); here the per-frequency EM is ``vmap``-ed over
+the frequency axis so all bins advance in lockstep as batched matmuls on
+the MXU.  A ``frame_mask`` argument supports padded (ragged-length)
+utterance batches: padded frames contribute zero weight to the M-step
+statistics.
+"""
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from pb_chime5_tpu.ops.linalg import hermitize
+
+__all__ = ['CacgmmConfig', 'cacgmm_posteriors', 'make_initialization']
+
+_INIT_FLOOR = 1e-10
+
+
+@dataclasses.dataclass(frozen=True)
+class CacgmmConfig:
+    """Static EM configuration (hashable -> usable as a jit static arg)."""
+    iterations: int = 20
+    iterations_post: int = 1
+    inverse: str = 'cholesky'        # 'cholesky' | 'eigh'
+    eigenvalue_floor: float = 1e-10  # used by the 'eigh' inverse
+    diagonal_floor: float = 1e-6     # used by the 'cholesky' inverse
+
+
+def make_initialization(activity, dtype=jnp.float32):
+    """Activity (K, T) {0,1} -> initial affiliations (K, T).
+
+    Zeros are floored to 1e-10 and columns renormalized over classes,
+    matching pb_chime5/core.py:156-160.
+    """
+    init = jnp.asarray(activity, dtype=dtype)
+    init = jnp.where(init == 0, jnp.asarray(_INIT_FLOOR, dtype), init)
+    return init / jnp.sum(init, axis=0, keepdims=True)
+
+
+def _normalize_observations(y):
+    """y (T, D) -> unit-norm rows z (T, D)."""
+    norm = jnp.linalg.norm(y, axis=-1, keepdims=True)
+    tiny = jnp.finfo(norm.dtype).tiny
+    return y / jnp.maximum(norm, tiny)
+
+
+def _m_step(z, gamma, quadratic_form, frame_mask, config):
+    """One M-step for a single frequency.
+
+    z (T, D) complex, gamma (K, T), quadratic_form (K, T) ->
+    params pytree (log_weight (K,), precision (K, D, D), logdet (K,)).
+    """
+    rdtype = gamma.dtype
+    tiny = jnp.finfo(rdtype).tiny
+    D = z.shape[-1]
+
+    if frame_mask is not None:
+        gamma = gamma * frame_mask[None, :].astype(rdtype)
+
+    denom = jnp.sum(gamma, axis=-1)                       # (K,)
+    weight = denom / jnp.maximum(jnp.sum(denom), tiny)
+    log_weight = jnp.log(jnp.maximum(weight, tiny))
+
+    # B_k = D * sum_t coeff_kt z_t z_t^H  with
+    # coeff_kt = gamma_kt / (denom_k * q_kt).  One explicit division with a
+    # single floor: a class with zero total affiliation (denom == 0 ->
+    # gamma == 0 everywhere) yields 0 / tiny = 0 instead of NaN.  (A chained
+    # ``a / max(b, tiny) / max(c, tiny)`` is unsafe: XLA fuses it into a
+    # reciprocal of the product and tiny * tiny underflows to 0.)
+    coeff = gamma / jnp.maximum(
+        denom[:, None] * quadratic_form, tiny)             # (K, T) real
+    # Loop the (small, static) class axis so the T-contraction stays a plain
+    # batched matmul and no (K, T, D) intermediate is materialized when this
+    # is vmapped over F.
+    covs, precisions, logdets = [], [], []
+    for k in range(gamma.shape[0]):
+        weighted = z * coeff[k][:, None].astype(z.dtype)   # (T, D)
+        scatter = weighted.T @ z.conj()                    # (D, D)
+        cov = hermitize(scatter * D)
+        precision, logdet = _invert(cov, config)
+        covs.append(cov)
+        precisions.append(precision)
+        logdets.append(logdet)
+    return (
+        log_weight,
+        jnp.stack(precisions),
+        jnp.stack(logdets).astype(rdtype),
+    )
+
+
+def _invert(cov, config):
+    """Hermitian (D, D) -> (precision, logdet) with conditioning floor."""
+    D = cov.shape[-1]
+    rdtype = cov.real.dtype
+    tiny = jnp.finfo(rdtype).tiny
+    if config.inverse == 'eigh':
+        # pb_bss-faithful: eigenvalue floor relative to the largest
+        # eigenvalue; logdet from the floored eigenvalues.
+        ew, ev = jnp.linalg.eigh(cov)
+        ew = ew.real
+        floor = jnp.max(ew, axis=-1, keepdims=True) * config.eigenvalue_floor
+        # Second clamp keeps an all-zero covariance (silent input) finite.
+        ew = jnp.maximum(jnp.maximum(ew, floor), tiny)
+        precision = (ev * (1.0 / ew)[..., None, :].astype(ev.dtype)
+                     ) @ ev.conj().T
+        logdet = jnp.sum(jnp.log(ew), axis=-1)
+        return precision, logdet
+    elif config.inverse == 'cholesky':
+        # Fast path: trace-scaled diagonal jitter, Cholesky inverse.
+        tr = jnp.trace(cov, axis1=-2, axis2=-1).real
+        # Clamp the jitter itself (not just the scale) so an all-zero
+        # covariance (silent input) still factorizes instead of NaN-ing:
+        # diagonal_floor * tiny underflows to 0 in float32.
+        jitter = jnp.maximum(config.diagonal_floor * tr / D, tiny)
+        cov = cov + jitter.astype(cov.dtype) * jnp.eye(D, dtype=cov.dtype)
+        L = jnp.linalg.cholesky(cov)
+        Linv = jax.scipy.linalg.solve_triangular(
+            L, jnp.eye(D, dtype=cov.dtype), lower=True)
+        precision = Linv.conj().T @ Linv
+        diag = jnp.diagonal(L, axis1=-2, axis2=-1).real
+        logdet = 2.0 * jnp.sum(jnp.log(jnp.maximum(diag, tiny)), axis=-1)
+        return precision, logdet
+    else:
+        raise ValueError(f'unknown inverse mode {config.inverse!r}')
+
+
+def _e_step(z, params, source_activity_mask):
+    """One E-step for a single frequency.
+
+    Returns (gamma (K, T), quadratic_form (K, T)).
+    """
+    log_weight, precision, logdet = params
+    D = z.shape[-1]
+    rdtype = logdet.dtype
+    tiny = jnp.finfo(rdtype).tiny
+
+    # q_kt = z_t^H P_k z_t, via one batched matmul per class.
+    qs = []
+    for k in range(precision.shape[0]):
+        vz = z @ precision[k].T                       # (T, D): (P_k z)_d^T
+        qs.append(jnp.sum(z.conj() * vz, axis=-1).real)
+    quadratic_form = jnp.maximum(jnp.stack(qs), tiny)  # (K, T)
+
+    log_pdf = (
+        log_weight[:, None]
+        - D * jnp.log(quadratic_form)
+        - logdet[:, None]
+    )
+    log_pdf = log_pdf - jnp.max(log_pdf, axis=0, keepdims=True)
+    gamma = jnp.exp(log_pdf).astype(rdtype)
+    if source_activity_mask is not None:
+        gamma = gamma * source_activity_mask.astype(rdtype)
+    gamma = gamma / jnp.maximum(jnp.sum(gamma, axis=0, keepdims=True), tiny)
+    return gamma, quadratic_form
+
+
+def _cacgmm_single_frequency(y, initialization, source_activity_mask,
+                             frame_mask, config: CacgmmConfig):
+    """Full EM for one frequency bin.  y (T, D) -> posterior (K, T)."""
+    z = _normalize_observations(y)
+
+    gamma = initialization
+    quadratic_form = jnp.ones_like(gamma)
+
+    # First M-step consumes the (floored, un-masked) initialization directly,
+    # like the reference fit loop: the source-activity mask only enters the
+    # E-step (pb_bss _predict semantics).
+    params = _m_step(z, gamma, quadratic_form, frame_mask, config)
+
+    def fit_body(_, carry):
+        gamma, quadratic_form, params = carry
+        gamma, quadratic_form = _e_step(z, params, source_activity_mask)
+        params = _m_step(z, gamma, quadratic_form, frame_mask, config)
+        return gamma, quadratic_form, params
+
+    gamma, quadratic_form, params = jax.lax.fori_loop(
+        0, config.iterations - 1, fit_body,
+        (gamma, quadratic_form, params))
+
+    if config.iterations_post == 0:
+        posterior, _ = _e_step(z, params, source_activity_mask)
+    else:
+        def post_body(_, carry):
+            gamma, quadratic_form, params = carry
+            gamma, quadratic_form = _e_step(z, params, None)
+            params = _m_step(z, gamma, quadratic_form, frame_mask, config)
+            return gamma, quadratic_form, params
+
+        gamma, quadratic_form, params = jax.lax.fori_loop(
+            0, config.iterations_post - 1, post_body,
+            (gamma, quadratic_form, params))
+        posterior, _ = _e_step(z, params, None)
+    return posterior
+
+
+@functools.partial(jax.jit, static_argnames=('config', 'has_frame_mask'))
+def _cacgmm_posteriors_impl(Y, initialization, source_activity_mask,
+                            frame_mask, config, has_frame_mask):
+    fm = frame_mask if has_frame_mask else None
+    fn = lambda y: _cacgmm_single_frequency(
+        y, initialization, source_activity_mask, fm, config)
+    return jax.vmap(fn)(Y)
+
+
+def cacgmm_posteriors(
+        Y,
+        activity,
+        *,
+        config: CacgmmConfig = CacgmmConfig(),
+        frame_mask=None,
+):
+    """Guided source separation posteriors.
+
+    Args:
+      Y: (F, T, D) complex spectrogram (frequency-major, matching the
+         reference's per-frequency ``Obs.T[f]`` slicing, core.py:181).
+      activity: (K, T) boolean/float per-class frame activity; provides both
+         the EM initialization (floored + normalized) and the
+         source-activity mask.
+      config: EM iteration/conditioning settings.
+      frame_mask: optional (T,) boolean validity mask for padded batches.
+
+    Returns:
+      (F, K, T) class posteriors ("masks").
+    """
+    Y = jnp.asarray(Y)
+    rdtype = Y.real.dtype
+    activity = jnp.asarray(activity)
+    initialization = make_initialization(activity, dtype=rdtype)
+    source_activity_mask = activity.astype(bool)
+    if frame_mask is None:
+        frame_mask_arr = jnp.ones((Y.shape[1],), dtype=bool)
+    else:
+        frame_mask_arr = jnp.asarray(frame_mask, dtype=bool)
+    return _cacgmm_posteriors_impl(
+        Y, initialization, source_activity_mask, frame_mask_arr,
+        config, frame_mask is not None)

@@ -1,0 +1,228 @@
+"""STFT / iSTFT as jittable JAX ops.
+
+Reproduces the analysis/synthesis semantics the reference pipeline relies on
+(nara_wpe.utils.stft/istft as used by pb_chime5/core.py:305-321):
+
+* analysis window: *periodic* Blackman of length ``size``
+  (scipy.signal.blackman(size + 1)[:-1]),
+* framing: frame ``t`` covers samples ``[t * shift, t * shift + size)``;
+  the last frame is zero-padded (``pad=True``) or dropped (``pad=False``),
+* ``fading=True`` pads ``size - shift`` zeros on both sides before framing
+  and crops the same amount after overlap-add, so every original sample sees
+  the full set of overlapping windows (exact reconstruction),
+* synthesis window: biorthogonal dual of the analysis window
+  (w_s[n] = w[n] / sum_k w[(n mod shift) + k*shift]^2), which satisfies
+  sum_t w[n - t*shift] * w_s[n - t*shift] = 1.
+
+Frame-count arithmetic matches nara_wpe.utils._samples_to_stft_frames as
+exercised by pb_chime5/core.py:217-238 (see ``samples_to_stft_frames``).
+
+TPU notes: when ``size % shift == 0`` (the production 1024/256 case) framing
+is ``k = size // shift`` static slices of a ``(T + k - 1, shift)`` reshape —
+no gather — and overlap-add is ``k`` shifted adds — no scatter.  rFFT/irFFT
+lower to the XLA FFT op.
+"""
+
+import math
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = [
+    'blackman_window',
+    'biorthogonal_synthesis_window',
+    'samples_to_stft_frames',
+    'stft_frame_count',
+    'stft',
+    'istft',
+]
+
+
+def blackman_window(size: int, dtype=np.float64) -> np.ndarray:
+    """Periodic Blackman window of length ``size``.
+
+    Equals ``scipy.signal.blackman(size + 1)[:-1]`` — the analysis window of
+    the reference STFT.  Returned as a *NumPy* array: windows are static
+    trace-time constants, never traced values.
+    """
+    n = np.arange(size)
+    w = (
+        0.42
+        - 0.5 * np.cos(2.0 * np.pi * n / size)
+        + 0.08 * np.cos(4.0 * np.pi * n / size)
+    )
+    return np.asarray(w, dtype=dtype)
+
+
+def biorthogonal_synthesis_window(window, shift: int) -> np.ndarray:
+    """Synthesis window that makes overlap-add an exact inverse.
+
+    ``w_s[n] = w[n] / D[n mod shift]`` with
+    ``D[m] = sum_k w[m + k * shift] ** 2``.  Then
+    ``sum_t w[n - t*shift] * w_s[n - t*shift] == 1`` in the steady state
+    (guaranteed everywhere for ``fading=True``).
+    """
+    window = np.asarray(window)
+    size = window.shape[0]
+    if size % shift == 0:
+        denom = (window ** 2).reshape(size // shift, shift).sum(axis=0)
+    else:
+        denom = np.zeros(shift, window.dtype)
+        for start in range(0, size, 1):
+            denom[start % shift] += window[start] ** 2
+    denom = np.maximum(denom, np.finfo(window.dtype).tiny)
+    reps = -(-size // shift)
+    full = np.tile(denom, reps)[:size]
+    return window / full
+
+
+def samples_to_stft_frames(
+        samples: int,
+        size: int,
+        shift: int,
+        *,
+        fading: bool = False,
+        pad: bool = True,
+) -> int:
+    """Number of STFT frames a span of ``samples`` samples produces.
+
+    Matches nara_wpe.utils._samples_to_stft_frames as used by
+    pb_chime5/core.py:224-237 for the ``bf_drop_context`` frame arithmetic
+    and verified against the reference doctest
+    (pb_chime5/database/chime5/database.py:453-456): 200000 samples,
+    size=1024, shift=256, fading=False, pad=False -> 778 frames.
+
+    Static Python ints only — this is host-side shape arithmetic.
+    """
+    if fading:
+        samples = samples + 2 * (size - shift)
+    if pad:
+        return -(-(samples - size + shift) // shift)
+    return (samples - size + shift) // shift
+
+
+def stft_frame_count(num_samples: int, size: int, shift: int, *,
+                     fading: bool = True) -> int:
+    """Frames the ``stft`` op below emits for a ``num_samples`` signal."""
+    return max(1, samples_to_stft_frames(
+        num_samples, size, shift, fading=fading, pad=True))
+
+
+def _frame_signal(x, size: int, shift: int, num_frames: int):
+    """Split ``x (..., L)`` into ``(..., num_frames, size)`` overlapping
+    frames with hop ``shift``; ``x`` must already be padded to
+    ``L >= (num_frames - 1) * shift + size``."""
+    if size % shift == 0:
+        k = size // shift
+        blocks_needed = num_frames + k - 1
+        x = x[..., :blocks_needed * shift]
+        blocks = x.reshape(*x.shape[:-1], blocks_needed, shift)
+        parts = [
+            jax.lax.slice_in_dim(blocks, j, j + num_frames, axis=-2)
+            for j in range(k)
+        ]
+        return jnp.concatenate(parts, axis=-1)
+    # General hop: one gather.
+    idx = np.arange(num_frames)[:, None] * shift + np.arange(size)[None, :]
+    return jnp.take(x, jnp.asarray(idx), axis=-1)
+
+
+def _overlap_add(frames, size: int, shift: int):
+    """Inverse of ``_frame_signal``: ``(..., T, size)`` ->
+    ``(..., (T - 1) * shift + size)`` by summing overlapping frames."""
+    T = frames.shape[-2]
+    out_len = (T - 1) * shift + size
+    if size % shift == 0:
+        k = size // shift
+        chunks = frames.reshape(*frames.shape[:-1], k, shift)
+        total = jnp.zeros((*frames.shape[:-2], T + k - 1, shift),
+                          dtype=frames.dtype)
+        for j in range(k):
+            piece = chunks[..., :, j, :]
+            pad = [(0, 0)] * (piece.ndim - 2) + [(j, k - 1 - j), (0, 0)]
+            total = total + jnp.pad(piece, pad)
+        return total.reshape(*frames.shape[:-2], (T + k - 1) * shift)
+    idx = np.arange(T)[:, None] * shift + np.arange(size)[None, :]
+    out = jnp.zeros((*frames.shape[:-2], out_len), dtype=frames.dtype)
+    return out.at[..., jnp.asarray(idx)].add(frames)
+
+
+@functools.partial(
+    jax.jit, static_argnames=('size', 'shift', 'fading', 'pad', 'window_fn'))
+def stft(
+        x,
+        size: int = 1024,
+        shift: int = 256,
+        *,
+        fading: bool = True,
+        pad: bool = True,
+        window_fn=blackman_window,
+):
+    """Short-time Fourier transform: ``(..., N) -> (..., T, size // 2 + 1)``.
+
+    Semantics match the reference analysis transform (see module docstring);
+    golden values pinned in tests/test_stft.py from the reference doctest
+    pb_chime5/database/chime5/database.py:414-452.
+    """
+    x = jnp.asarray(x)
+    if not jnp.issubdtype(x.dtype, jnp.floating):
+        x = x.astype(jnp.float32)
+    if fading:
+        pad_width = [(0, 0)] * (x.ndim - 1) + [(size - shift, size - shift)]
+        x = jnp.pad(x, pad_width)
+    n = x.shape[-1]
+    if pad:
+        num_frames = max(1, -(-(n - size + shift) // shift))
+    else:
+        num_frames = (n - size + shift) // shift
+        if num_frames < 1:
+            raise ValueError(f'signal too short: {n} < {size} (pad=False)')
+    full = (num_frames - 1) * shift + size
+    if full > n:
+        pad_width = [(0, 0)] * (x.ndim - 1) + [(0, full - n)]
+        x = jnp.pad(x, pad_width)
+    frames = _frame_signal(x, size, shift, num_frames)
+    if window_fn is not None:
+        window = jnp.asarray(np.asarray(window_fn(size)), dtype=frames.dtype)
+        frames = frames * window
+    return jnp.fft.rfft(frames, n=size, axis=-1)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=('size', 'shift', 'fading', 'window_fn', 'num_samples'))
+def istft(
+        X,
+        size: int = 1024,
+        shift: int = 256,
+        *,
+        fading: bool = True,
+        window_fn=blackman_window,
+        num_samples: int = None,
+):
+    """Inverse STFT via biorthogonal-window overlap-add.
+
+    ``(..., T, size // 2 + 1) -> (..., (T - 1) * shift + size
+    - 2 * (size - shift) if fading else (T - 1) * shift + size)``.
+    If ``num_samples`` is given the result is cropped / zero-padded to that
+    length (handles the ``pad=True`` ceiling in the forward transform).
+    """
+    X = jnp.asarray(X)
+    frames = jnp.fft.irfft(X, n=size, axis=-1)
+    analysis = np.asarray(window_fn(size))
+    synthesis = jnp.asarray(
+        biorthogonal_synthesis_window(analysis, shift), dtype=frames.dtype)
+    frames = frames * synthesis
+    x = _overlap_add(frames, size, shift)
+    if fading:
+        x = x[..., size - shift: x.shape[-1] - (size - shift)]
+    if num_samples is not None:
+        if num_samples <= x.shape[-1]:
+            x = x[..., :num_samples]
+        else:
+            pad_width = [(0, 0)] * (x.ndim - 1) + [
+                (0, num_samples - x.shape[-1])]
+            x = jnp.pad(x, pad_width)
+    return x

@@ -1,0 +1,129 @@
+"""Weighted prediction error (WPE) dereverberation, batched over frequency.
+
+Rebuilds the capability of nara_wpe.wpe.wpe_v8 as driven by the reference
+WPE block (pb_chime5/core.py:41-88): iterative block (offline) WPE with
+
+* time-varying power estimate  lambda_t = mean_d |X_dt|^2, optionally
+  smoothed over +-``psd_context`` frames, floored at
+  1e-10 * max_t(lambda) (scale-invariant),
+* stacked delayed observations  Ytilde_t = [Y_{t-delay}, ...,
+  Y_{t-delay-taps+1}] in C^{taps*D} (zero-padded history,
+  "full" statistics mode),
+* correlation statistics  R = sum_t Ytilde Ytilde^H / lambda_t,
+  P = sum_t Ytilde Y_t^H / lambda_t,
+* filter  G = R^{-1} P  (Hermitian solve with pinv fallback),
+* output  X_t = Y_t - G^H Ytilde_t.
+
+The reference runs this per frequency inside nara_wpe (already batched over
+F there); here the whole thing is a single jitted program: the T
+contractions are (taps*D, T) x (T, taps*D) matmuls batched over F on the
+MXU, and the iteration loop is a ``lax.fori_loop``.
+
+A ``frame_mask`` argument supports padded utterance batches: padded frames
+are excluded from the statistics (their Ytilde columns are zero) and the
+output is zero there.
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from pb_chime5_tpu.ops.linalg import hermitize, stable_solve
+
+__all__ = ['wpe', 'build_y_tilde', 'get_power_inverse']
+
+
+def build_y_tilde(Y, taps: int, delay: int):
+    """Y (..., D, T) -> Ytilde (..., taps * D, T).
+
+    Row block ``tau`` (tau = 0..taps-1) of Ytilde_t is Y_{t - delay - tau},
+    zero for negative time indices.
+    """
+    parts = []
+    T = Y.shape[-1]
+    for tau in range(taps):
+        shift = delay + tau
+        pad_width = [(0, 0)] * (Y.ndim - 1) + [(shift, 0)]
+        parts.append(jnp.pad(Y, pad_width)[..., :T])
+    return jnp.concatenate(parts, axis=-2)
+
+
+def get_power_inverse(X, psd_context: int = 0, frame_mask=None):
+    """Inverse time-varying power:  1 / max(lambda, 1e-10 * max(lambda)).
+
+    X (..., D, T) -> (..., T).  ``psd_context`` averages lambda over a
+    +-context frame window (matching nara_wpe's get_power context
+    smoothing).
+    """
+    power = jnp.mean(jnp.abs(X) ** 2, axis=-2)
+    if psd_context > 0:
+        width = 2 * psd_context + 1
+        kernel = jnp.ones((width,), dtype=power.dtype)
+        pad = [(0, 0)] * (power.ndim - 1) + [(psd_context, psd_context)]
+        padded = jnp.pad(power, pad)
+        counts = jnp.convolve(jnp.ones(power.shape[-1], power.dtype),
+                              kernel, mode='full')[
+            psd_context:psd_context + power.shape[-1]]
+        smoothed = jax.vmap(
+            lambda p: jnp.convolve(p, kernel, mode='valid'),
+        )(padded.reshape(-1, padded.shape[-1]))
+        power = smoothed.reshape(power.shape) / counts
+    if frame_mask is not None:
+        power = power * frame_mask.astype(power.dtype)
+    floor = 1e-10 * jnp.max(power, axis=-1, keepdims=True)
+    floor = jnp.maximum(floor, jnp.finfo(power.dtype).tiny)
+    return 1.0 / jnp.maximum(power, floor)
+
+
+def _wpe_iteration(Y, Y_tilde, inv_power):
+    """One WPE filter update.  Y (F, D, T), Y_tilde (F, taps*D, T),
+    inv_power (F, T) -> dereverberated X (F, D, T)."""
+    weighted = Y_tilde * inv_power[:, None, :].astype(Y_tilde.dtype)
+    R = jnp.einsum('fit,fjt->fij', weighted, Y_tilde.conj())
+    P = jnp.einsum('fit,fjt->fij', weighted, Y.conj())
+    G = stable_solve(hermitize(R), P)                       # (F, taps*D, D)
+    tail = jnp.einsum('fid,fit->fdt', G.conj(), Y_tilde)
+    return Y - tail
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=('taps', 'delay', 'iterations', 'psd_context',
+                     'has_frame_mask'))
+def _wpe_impl(Y, taps, delay, iterations, psd_context, frame_mask,
+              has_frame_mask):
+    fm = frame_mask if has_frame_mask else None
+    Y_tilde = build_y_tilde(Y, taps, delay)
+    if fm is not None:
+        Y_tilde = Y_tilde * fm[None, None, :].astype(Y_tilde.dtype)
+
+    def body(_, X):
+        inv_power = get_power_inverse(X, psd_context, fm)
+        return _wpe_iteration(Y, Y_tilde, inv_power)
+
+    X = jax.lax.fori_loop(0, iterations, body, Y)
+    if fm is not None:
+        X = X * fm[None, None, :].astype(X.dtype)
+    return X
+
+
+def wpe(Y, *, taps: int = 10, delay: int = 2, iterations: int = 3,
+        psd_context: int = 0, frame_mask=None):
+    """Batched offline WPE.
+
+    Args:
+      Y: (F, D, T) complex spectrogram (nara_wpe's frequency-major layout;
+         the reference transposes into this layout at core.py:52-58).
+      taps / delay / iterations / psd_context: reference defaults 10/2/3/0
+         (core.py:580-583).
+      frame_mask: optional (T,) validity mask for padded batches.
+
+    Returns:
+      Dereverberated (F, D, T).
+    """
+    Y = jnp.asarray(Y)
+    return _wpe_impl(Y, taps, delay, iterations, psd_context,
+                     frame_mask if frame_mask is None
+                     else jnp.asarray(frame_mask, dtype=bool),
+                     frame_mask is not None)

@@ -1,0 +1,33 @@
+"""Test configuration: run JAX on a virtual 8-device CPU mesh.
+
+Must set the env vars before the first ``import jax`` anywhere in the test
+process (SURVEY.md section 4: multi-chip behaviour is validated with
+``xla_force_host_platform_device_count``).
+"""
+
+import os
+
+# Tests always run on the virtual CPU mesh, even when a real TPU is
+# reachable (the driver benches on the chip; tests must be hermetic).
+os.environ['JAX_PLATFORMS'] = 'cpu'
+_flags = os.environ.get('XLA_FLAGS', '')
+if 'xla_force_host_platform_device_count' not in _flags:
+    os.environ['XLA_FLAGS'] = (
+        _flags + ' --xla_force_host_platform_device_count=8').strip()
+
+import jax
+
+# The axon TPU plugin overrides the JAX_PLATFORMS env var in this image, so
+# pin the platform through the config API as well.
+jax.config.update('jax_platforms', 'cpu')
+# Oracle-parity tests compare against float64 NumPy references; the ops are
+# dtype-polymorphic (the TPU path feeds float32/complex64).
+jax.config.update('jax_enable_x64', True)
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(0)

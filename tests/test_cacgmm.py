@@ -1,0 +1,149 @@
+"""cacGMM EM: oracle parity, separation quality, masking semantics."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from pb_chime5_tpu.ops import cacgmm_posteriors, CacgmmConfig
+from pb_chime5_tpu.ops.cacgmm import make_initialization
+
+from tests import reference_numpy as ref
+
+
+def _two_speaker_mixture(rng, F=6, T=120, D=4):
+    """Synthetic mixture: two sources with distinct spatial signatures plus
+    noise, alternating activity with an overlap region."""
+    steer = rng.standard_normal((2, F, D)) + 1j * rng.standard_normal(
+        (2, F, D))
+    sig = np.zeros((2, F, T))
+    sig[0, :, :70] = rng.gamma(2.0, 1.0, (F, 70))        # spk0: frames 0-70
+    sig[1, :, 50:] = rng.gamma(2.0, 1.0, (F, T - 50))    # spk1: frames 50-T
+    Y = np.einsum('kfd,kft->ftd', steer,
+                  np.sqrt(sig) * np.exp(1j * rng.uniform(0, 2 * np.pi,
+                                                         (2, F, T))))
+    Y += 0.01 * (rng.standard_normal((F, T, D))
+                 + 1j * rng.standard_normal((F, T, D)))
+    activity = np.zeros((3, T), bool)
+    activity[0, :70] = True
+    activity[1, 50:] = True
+    activity[2, :] = True                                # noise class
+    return Y, activity
+
+
+def test_make_initialization_floor():
+    act = np.array([[1, 0], [0, 1]], float)
+    init = np.asarray(make_initialization(act))
+    np.testing.assert_allclose(init.sum(0), 1.0, rtol=1e-6)
+    assert init[0, 1] > 0  # floored, not zero
+    assert init[0, 1] < 1e-9 / (1e-9 + 1)  # but tiny
+
+
+def test_matches_numpy_oracle(rng):
+    Y, activity = _two_speaker_mixture(rng)
+    want = ref.cacgmm_posteriors_np(Y, activity, iterations=5,
+                                    iterations_post=1)
+    got = np.asarray(cacgmm_posteriors(
+        jnp.asarray(Y), activity,
+        config=CacgmmConfig(iterations=5, iterations_post=1,
+                            inverse='eigh')))
+    np.testing.assert_allclose(got, want, atol=1e-6)
+
+
+def test_matches_oracle_post0(rng):
+    Y, activity = _two_speaker_mixture(rng)
+    want = ref.cacgmm_posteriors_np(Y, activity, iterations=4,
+                                    iterations_post=0)
+    got = np.asarray(cacgmm_posteriors(
+        jnp.asarray(Y), activity,
+        config=CacgmmConfig(iterations=4, iterations_post=0,
+                            inverse='eigh')))
+    np.testing.assert_allclose(got, want, atol=1e-6)
+
+
+def test_matches_oracle_post3(rng):
+    Y, activity = _two_speaker_mixture(rng)
+    want = ref.cacgmm_posteriors_np(Y, activity, iterations=3,
+                                    iterations_post=3)
+    got = np.asarray(cacgmm_posteriors(
+        jnp.asarray(Y), activity,
+        config=CacgmmConfig(iterations=3, iterations_post=3,
+                            inverse='eigh')))
+    np.testing.assert_allclose(got, want, atol=1e-6)
+
+
+def test_cholesky_inverse_close_to_eigh(rng):
+    """The fast Cholesky conditioning must agree with the faithful eigh
+    variant on well-conditioned data (mask level)."""
+    Y, activity = _two_speaker_mixture(rng)
+    cfg = dict(iterations=10, iterations_post=1)
+    a = np.asarray(cacgmm_posteriors(
+        jnp.asarray(Y), activity,
+        config=CacgmmConfig(inverse='eigh', **cfg)))
+    b = np.asarray(cacgmm_posteriors(
+        jnp.asarray(Y), activity,
+        config=CacgmmConfig(inverse='cholesky', **cfg)))
+    assert np.mean(np.abs(a - b)) < 1e-3
+
+
+def test_separates_sources(rng):
+    """In exclusive-activity regions the correct speaker gets the mass."""
+    Y, activity = _two_speaker_mixture(rng, F=10, T=160)
+    post = np.asarray(cacgmm_posteriors(
+        jnp.asarray(Y), activity,
+        config=CacgmmConfig(iterations=20, iterations_post=1)))
+    assert post.shape == (10, 3, 160)
+    np.testing.assert_allclose(post.sum(axis=1), 1.0, atol=1e-4)
+    # speaker 0 dominant where only speaker 0 is loud (frames 10..45)
+    assert post[:, 0, 10:45].mean() > 0.75
+    # speaker 1 dominant where only speaker 1 is loud (frames 80..150)
+    assert post[:, 1, 80:150].mean() > 0.75
+
+
+def test_posteriors_masked_when_post0(rng):
+    Y, activity = _two_speaker_mixture(rng)
+    post = np.asarray(cacgmm_posteriors(
+        jnp.asarray(Y), activity,
+        config=CacgmmConfig(iterations=5, iterations_post=0)))
+    # with iterations_post=0 the source activity mask gates the posterior
+    assert np.all(post[:, 0, 70:] == 0)
+    assert np.all(post[:, 1, :50] == 0)
+
+
+def test_frame_mask_matches_unpadded(rng):
+    Y, activity = _two_speaker_mixture(rng, F=4, T=100)
+    T_pad = 128
+    Y_pad = np.zeros((4, T_pad, 4), Y.dtype)
+    Y_pad[:, :100] = Y
+    act_pad = np.zeros((3, T_pad), bool)
+    act_pad[:, :100] = activity
+    act_pad[2, :] = True  # noise class "always on", like real activity
+    fm = np.r_[np.ones(100, bool), np.zeros(28, bool)]
+    cfg = CacgmmConfig(iterations=8, iterations_post=1)
+    a = np.asarray(cacgmm_posteriors(jnp.asarray(Y), activity, config=cfg))
+    b = np.asarray(cacgmm_posteriors(jnp.asarray(Y_pad), act_pad,
+                                     config=cfg, frame_mask=fm))
+    np.testing.assert_allclose(b[:, :, :100], a, atol=1e-5)
+
+
+def test_silent_input_is_finite():
+    """All-zero observations (dead segment) must not NaN.
+
+    Regression: float32 underflow — XLA fuses chained divides into a
+    reciprocal of the product of denominators, and tiny * tiny == 0.
+    """
+    Y = jnp.zeros((2, 10, 4), jnp.complex64)
+    act = np.zeros((3, 10), bool)
+    act[2] = True
+    for inverse in ['cholesky', 'eigh']:
+        post = np.asarray(cacgmm_posteriors(
+            Y, act, config=CacgmmConfig(iterations=3, inverse=inverse)))
+        assert np.all(np.isfinite(post)), inverse
+
+
+def test_float32_stable(rng):
+    Y, activity = _two_speaker_mixture(rng)
+    post = np.asarray(cacgmm_posteriors(
+        jnp.asarray(Y, dtype=jnp.complex64), activity,
+        config=CacgmmConfig(iterations=20, iterations_post=1)))
+    assert post.dtype == np.float32
+    assert np.all(np.isfinite(post))
+    np.testing.assert_allclose(post.sum(axis=1), 1.0, atol=1e-3)

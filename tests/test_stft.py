@@ -1,0 +1,109 @@
+"""STFT/iSTFT: golden values + oracle parity + exact reconstruction."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from pb_chime5_tpu.ops import (
+    stft, istft, samples_to_stft_frames, stft_frame_count)
+from pb_chime5_tpu.ops.stft import (
+    blackman_window, biorthogonal_synthesis_window)
+
+from tests import reference_numpy as ref
+
+
+SIGNAL = np.array([0, 0, 0, 0, 0, 1, -3, 0, 5, 0, 0, 0, 0, 0], np.float64)
+
+# Golden values from the reference doctest
+# (pb_chime5/database/chime5/database.py:414-452): stft(signal, size=4,
+# shift=2, window=np.ones) with and without fading.
+GOLDEN_FADING = np.array([
+    [0, 0, 0],
+    [0, 0, 0],
+    [1, 1j, -1],
+    [-2, 3 - 1j, -4],
+    [2, -8, 2],
+    [5, 5, 5],
+    [0, 0, 0],
+    [0, 0, 0],
+], dtype=np.complex128)
+
+GOLDEN_NO_FADING = GOLDEN_FADING[1:-1]
+
+
+def ones_window(size):
+    return np.ones(size)
+
+
+def test_stft_golden_fading():
+    X = stft(SIGNAL, size=4, shift=2, fading=True, window_fn=ones_window)
+    np.testing.assert_allclose(np.asarray(X), GOLDEN_FADING, atol=1e-5)
+
+
+def test_stft_golden_no_fading():
+    X = stft(SIGNAL, size=4, shift=2, fading=False, window_fn=ones_window)
+    np.testing.assert_allclose(np.asarray(X), GOLDEN_NO_FADING, atol=1e-5)
+
+
+def test_frame_count_matches_reference_doctest():
+    # database.py:453-456: 200000 samples, 1024/256, no fading, no pad -> 778
+    assert samples_to_stft_frames(200000, 1024, 256,
+                                  fading=False, pad=False) == 778
+    assert samples_to_stft_frames(200000, 1024, 256,
+                                  fading=False, pad=True) == 779
+    # fading adds 2 * (size - shift) samples
+    assert samples_to_stft_frames(14, 4, 2, fading=True, pad=True) == 8
+    assert samples_to_stft_frames(14, 4, 2, fading=False, pad=True) == 6
+
+
+@pytest.mark.parametrize('n', [14, 1000, 4096, 5000])
+@pytest.mark.parametrize('size,shift', [(1024, 256), (512, 128), (64, 16)])
+def test_stft_shape(n, size, shift, rng):
+    x = rng.standard_normal(n)
+    X = stft(x, size=size, shift=shift, fading=True)
+    assert X.shape == (stft_frame_count(n, size, shift, fading=True),
+                       size // 2 + 1)
+
+
+def test_stft_matches_numpy_oracle(rng):
+    x = rng.standard_normal((3, 5000))
+    X = stft(x, size=512, shift=128, fading=True)
+    Xr = ref.stft_np(x, 512, 128, fading=True)
+    np.testing.assert_allclose(np.asarray(X), Xr, atol=1e-3, rtol=1e-4)
+
+
+def test_istft_matches_numpy_oracle(rng):
+    x = rng.standard_normal(5000)
+    X = ref.stft_np(x, 512, 128, fading=True)
+    xr = ref.istft_np(X, 512, 128, fading=True)
+    xj = istft(jnp.asarray(X), size=512, shift=128, fading=True)
+    np.testing.assert_allclose(np.asarray(xj), xr, atol=1e-4)
+
+
+@pytest.mark.parametrize('n', [1000, 4096, 12345])
+@pytest.mark.parametrize('size,shift', [(1024, 256), (400, 160), (64, 16)])
+def test_roundtrip_reconstruction(n, size, shift, rng):
+    """fading=True makes istft(stft(x)) exact on the full signal."""
+    x = rng.standard_normal(n).astype(np.float32)
+    X = stft(x, size=size, shift=shift, fading=True)
+    y = istft(X, size=size, shift=shift, fading=True, num_samples=n)
+    np.testing.assert_allclose(np.asarray(y), x, atol=1e-4)
+
+
+def test_roundtrip_multichannel(rng):
+    x = rng.standard_normal((2, 4, 3000)).astype(np.float32)
+    X = stft(x, size=256, shift=64)
+    y = istft(X, size=256, shift=64, num_samples=3000)
+    np.testing.assert_allclose(np.asarray(y), x, atol=1e-4)
+
+
+def test_synthesis_window_biorthogonality():
+    size, shift = 1024, 256
+    w = np.asarray(blackman_window(size))
+    s = np.asarray(biorthogonal_synthesis_window(w, shift))
+    # sum over overlapping frames of w * s == 1 at every offset
+    total = np.zeros(shift)
+    for k in range(size // shift):
+        total += (w * s)[k * shift:(k + 1) * shift]
+    np.testing.assert_allclose(total, 1.0, atol=1e-10)

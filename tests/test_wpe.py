@@ -1,0 +1,78 @@
+"""WPE: oracle parity + dereverberation actually reduces reverb."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from pb_chime5_tpu.ops import wpe, stft
+from pb_chime5_tpu.ops.wpe import build_y_tilde, get_power_inverse
+
+from tests import reference_numpy as ref
+
+
+def _random_reverberant(rng, F=9, D=3, T=80):
+    """Simple synthetic reverberant multichannel spectrogram."""
+    source = (rng.standard_normal((F, 1, T))
+              + 1j * rng.standard_normal((F, 1, T)))
+    h = (rng.standard_normal((F, D, 6)) * (0.7 ** np.arange(6))
+         + 1j * rng.standard_normal((F, D, 6)) * (0.7 ** np.arange(6)))
+    Y = np.zeros((F, D, T), np.complex128)
+    for tau in range(6):
+        Y[..., tau:] += h[..., tau:tau + 1] * source[..., :T - tau]
+    return Y
+
+
+def test_build_y_tilde():
+    Y = np.arange(12, dtype=np.complex64).reshape(1, 2, 6)
+    Yt = np.asarray(build_y_tilde(jnp.asarray(Y), taps=2, delay=1))
+    assert Yt.shape == (1, 4, 6)
+    # tap 0 = delay 1
+    np.testing.assert_array_equal(Yt[0, 0, 1:], Y[0, 0, :-1])
+    np.testing.assert_array_equal(Yt[0, 0, 0], 0)
+    # tap 1 = delay 2
+    np.testing.assert_array_equal(Yt[0, 2, 2:], Y[0, 0, :-2])
+
+
+def test_power_inverse_floor(rng):
+    X = rng.standard_normal((2, 3, 10)) + 0j
+    X[..., 5] = 0.0  # silent frame
+    inv = np.asarray(get_power_inverse(jnp.asarray(X)))
+    assert np.all(np.isfinite(inv))
+    power = np.mean(np.abs(X) ** 2, axis=-2)
+    expected = 1.0 / np.maximum(power, 1e-10 * power.max(-1, keepdims=True))
+    np.testing.assert_allclose(inv, expected, rtol=1e-5)
+
+
+def test_wpe_matches_numpy_oracle(rng):
+    Y = _random_reverberant(rng)
+    Xr = ref.wpe_np(Y, taps=4, delay=2, iterations=3)
+    Xj = np.asarray(wpe(jnp.asarray(Y), taps=4, delay=2, iterations=3))
+    np.testing.assert_allclose(Xj, Xr, atol=1e-4, rtol=1e-4)
+
+
+def test_wpe_psd_context_matches_oracle(rng):
+    Y = _random_reverberant(rng, F=4, D=2, T=50)
+    Xr = ref.wpe_np(Y, taps=3, delay=1, iterations=2, psd_context=2)
+    Xj = np.asarray(wpe(jnp.asarray(Y), taps=3, delay=1, iterations=2,
+                        psd_context=2))
+    np.testing.assert_allclose(Xj, Xr, atol=1e-4, rtol=1e-4)
+
+
+def test_wpe_reduces_tail_energy(rng):
+    """On a strongly reverberant mixture WPE should reduce the prediction
+    error of late reflections: output power < input power while keeping the
+    direct path (first channel early part) mostly intact."""
+    Y = _random_reverberant(rng, F=16, D=4, T=200)
+    X = np.asarray(wpe(jnp.asarray(Y), taps=8, delay=1, iterations=3))
+    assert np.sum(np.abs(X) ** 2) < 0.9 * np.sum(np.abs(Y) ** 2)
+    assert np.all(np.isfinite(X))
+
+
+def test_wpe_frame_mask_ignores_padding(rng):
+    Y = _random_reverberant(rng, F=4, D=2, T=60)
+    pad = np.concatenate([Y, np.zeros((4, 2, 20), Y.dtype)], axis=-1)
+    mask = np.r_[np.ones(60, bool), np.zeros(20, bool)]
+    X_pad = np.asarray(wpe(jnp.asarray(pad), taps=3, delay=1, iterations=2,
+                           frame_mask=mask))
+    X = np.asarray(wpe(jnp.asarray(Y), taps=3, delay=1, iterations=2))
+    np.testing.assert_allclose(X_pad[..., :60], X, atol=1e-5)
+    np.testing.assert_allclose(X_pad[..., 60:], 0.0)
