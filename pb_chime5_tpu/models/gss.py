@@ -1,0 +1,240 @@
+"""The fused GSS enhancement program — one XLA computation per utterance.
+
+This is the TPU-native equivalent of the reference's per-utterance numeric
+hot path ``Enhancer.enhance_observation`` (pb_chime5/core.py:514-571):
+
+    STFT -> WPE -> cacGMM EM ("GSS") -> mask context drop ->
+    MVDR-Souden(+BAN) / GEV -> optional mask postfilter -> iSTFT
+
+Everything between the raw waveform and the enhanced waveform is traced
+once and compiled by XLA; the 513-frequency EM loop is a ``vmap``; dynamic
+per-example quantities (target speaker index, context frame counts, valid
+sample count) are traced scalars so one compiled program serves a whole
+length bucket.
+
+Layout notes (chosen for the TPU, not mirroring the reference):
+  waveform (D, N) -> spectrogram is kept frequency-major (F, D, T) through
+  WPE and the beamformer, and (F, T, D) through the EM, so every
+  T-contraction is a plain batched matmul over the leading F axis.
+"""
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pb_chime5_tpu.ops.stft import stft, istft, stft_frame_count
+from pb_chime5_tpu.ops.wpe import wpe
+from pb_chime5_tpu.ops.cacgmm import cacgmm_posteriors, CacgmmConfig
+from pb_chime5_tpu.ops import beamform as bf
+
+__all__ = ['GssConfig', 'gss_enhance', 'GssPipeline']
+
+
+@dataclasses.dataclass(frozen=True)
+class GssConfig:
+    """Static pipeline configuration (hashable; one compile per value).
+
+    Field defaults mirror the reference factory ``get_enhancer``
+    (pb_chime5/core.py:574-601).
+    """
+    stft_size: int = 1024
+    stft_shift: int = 256
+    stft_fading: bool = True
+
+    wpe: bool = True
+    wpe_taps: int = 10
+    wpe_delay: int = 2
+    wpe_iterations: int = 3
+    wpe_psd_context: int = 0
+
+    bss_iterations: int = 20
+    bss_iterations_post: int = 1
+    bss_inverse: str = 'cholesky'          # 'cholesky' | 'eigh'
+
+    bf: str = 'mvdrSouden_ban'  # 'mvdrSouden_ban' | 'mvdr_souden' | 'gev_ban'
+    #                             | 'gev' | 'lcmv' | 'ch2' | 'sum'
+    postfilter: str = None                 # None | 'mask_mul'
+
+    @property
+    def cacgmm_config(self):
+        return CacgmmConfig(
+            iterations=self.bss_iterations,
+            iterations_post=self.bss_iterations_post,
+            inverse=self.bss_inverse,
+        )
+
+
+def _beamform(Obs_fdt, target_mask_kt, distortion_mask_kt, config):
+    """Obs (F, D, T), masks (T, F)-style handled by caller as (F, T)."""
+    kind = config.bf
+    if kind in ('ch2', 'sum'):
+        X = Obs_fdt[:, 2, :] if kind == 'ch2' else jnp.sum(Obs_fdt, axis=1)
+        return X
+    cov_x = bf.psd_matrix(Obs_fdt, target_mask_kt)
+    cov_n = bf.psd_matrix(Obs_fdt, distortion_mask_kt)
+    if kind in ('mvdrSouden_ban', 'mvdr_souden'):
+        w = bf.mvdr_souden_vector(cov_x, cov_n, eps=1e-10)
+        if kind == 'mvdrSouden_ban':
+            w = bf.blind_analytic_normalization(w, cov_n)
+    elif kind in ('gev_ban', 'gev'):
+        w = bf.gev_vector(cov_x, cov_n)
+        if kind == 'gev_ban':
+            w = bf.blind_analytic_normalization(w, cov_n)
+    else:
+        raise NotImplementedError(kind)
+    return bf.apply_beamforming_vector(w, Obs_fdt)
+
+
+@functools.partial(
+    jax.jit, static_argnames=('config', 'num_output_samples'))
+def gss_enhance(
+        obs,
+        activity_freq,
+        target_index,
+        *,
+        config: GssConfig = GssConfig(),
+        start_context_frames=0,
+        end_context_frames=0,
+        num_valid_samples=None,
+        num_output_samples: int = None,
+):
+    """Enhance one (possibly padded) multichannel utterance.
+
+    Args:
+      obs: (D, N) float waveform.  D stacks all arrays/channels
+        (the reference's ``morph('ACN->A*CN')``, core.py:439).
+      activity_freq: (K, T) per-class frame activity (bool/int), already
+        projected to STFT frames (see
+        ``pb_chime5_tpu.utils.activity_freq.activity_time_to_frequency``).
+        T must equal the STFT frame count for N samples.
+      target_index: traced int — index of the target speaker among the K
+        classes.
+      config: static pipeline configuration.
+      start_context_frames / end_context_frames: traced ints — frames to
+        zero at the start/end of the masks before beamforming
+        (``bf_drop_context``, reference core.py:537-547).
+      num_valid_samples: optional traced int — true sample count when
+        ``obs`` is zero-padded to a bucket length.  Frames beyond the valid
+        region are excluded from WPE/EM/beamformer statistics.
+      num_output_samples: optional static int output length (defaults to N).
+
+    Returns:
+      (x_hat (num_output_samples,), masks (K, T, F)) — the enhanced
+      waveform still contains the acoustic context; the caller trims
+      ``start_context : start_context + num_samples_orig``
+      (reference core.py:500-505).
+    """
+    obs = jnp.asarray(obs)
+    D, N = obs.shape
+    size, shift = config.stft_size, config.stft_shift
+
+    Obs = stft(obs, size, shift, fading=config.stft_fading)   # (D, T, F)
+    T = Obs.shape[-2]
+    F = Obs.shape[-1]
+    Obs = jnp.transpose(Obs, (2, 0, 1))                        # (F, D, T)
+
+    frame_idx = jnp.arange(T)
+    if num_valid_samples is not None:
+        pad_extra = 2 * (size - shift) if config.stft_fading else 0
+        # integer ceil division, same arithmetic as samples_to_stft_frames
+        t_valid = (num_valid_samples + pad_extra - size + 2 * shift - 1) \
+            // shift
+        t_valid = jnp.maximum(t_valid, 1).astype(jnp.int32)
+        frame_mask = frame_idx < t_valid
+    else:
+        frame_mask = None
+
+    if config.wpe:
+        Obs = wpe(
+            Obs,
+            taps=config.wpe_taps,
+            delay=config.wpe_delay,
+            iterations=config.wpe_iterations,
+            psd_context=config.wpe_psd_context,
+            frame_mask=frame_mask,
+        )
+
+    masks = cacgmm_posteriors(
+        jnp.transpose(Obs, (0, 2, 1)),                         # (F, T, D)
+        activity_freq,
+        config=config.cacgmm_config,
+        frame_mask=frame_mask,
+    )                                                          # (F, K, T)
+
+    # bf_drop_context: zero *all* class masks in the context frames
+    # (reference core.py:545-547 zeroes every class, so those frames drop
+    # out of both PSDs).
+    keep = (frame_idx >= start_context_frames) & \
+           (frame_idx < T - end_context_frames)
+    if frame_mask is not None:
+        keep = keep & frame_mask
+    masks = masks * keep[None, None, :].astype(masks.dtype)
+
+    target_mask = jnp.take_along_axis(
+        masks, jnp.full((F, 1, T), target_index, dtype=jnp.int32), axis=1
+    )[:, 0, :]                                                 # (F, T)
+    distortion_mask = jnp.sum(masks, axis=1) - target_mask
+
+    X_hat = _beamform(Obs, target_mask, distortion_mask, config)  # (F, T)
+
+    if config.postfilter == 'mask_mul':
+        X_hat = X_hat * target_mask.astype(X_hat.dtype)
+    elif config.postfilter is not None:
+        raise NotImplementedError(config.postfilter)
+
+    x_hat = istft(
+        X_hat.T, size, shift, fading=config.stft_fading,
+        num_samples=num_output_samples if num_output_samples is not None
+        else N,
+    )
+    return x_hat, jnp.transpose(masks, (1, 2, 0))              # (K, T, F)
+
+
+class GssPipeline:
+    """Convenience host wrapper: NumPy in, NumPy out, one compile per
+    (config, D, bucketed N, K)."""
+
+    def __init__(self, config: GssConfig = GssConfig(), *,
+                 length_buckets=None, dtype=np.float32):
+        self.config = config
+        self.length_buckets = length_buckets
+        self.dtype = dtype
+
+    def bucket_length(self, n: int) -> int:
+        if not self.length_buckets:
+            return n
+        for b in self.length_buckets:
+            if n <= b:
+                return b
+        return self.length_buckets[-1]
+
+    def frame_count(self, num_samples: int) -> int:
+        return stft_frame_count(
+            num_samples, self.config.stft_size, self.config.stft_shift,
+            fading=self.config.stft_fading)
+
+    def __call__(self, obs, activity_freq, target_index, *,
+                 start_context_frames=0, end_context_frames=0):
+        obs = np.asarray(obs, dtype=self.dtype)
+        if obs.ndim == 1:
+            obs = obs[None]
+        D, N = obs.shape
+        N_pad = self.bucket_length(N)
+        T_pad = self.frame_count(N_pad)
+        padded = np.zeros((D, N_pad), self.dtype)
+        padded[:, :N] = obs
+        act = np.zeros((activity_freq.shape[0], T_pad), np.int8)
+        act[:, :activity_freq.shape[1]] = np.asarray(activity_freq,
+                                                     np.int8)[:, :T_pad]
+        x_hat, masks = gss_enhance(
+            padded, act, jnp.int32(target_index),
+            config=self.config,
+            start_context_frames=jnp.int32(start_context_frames),
+            end_context_frames=jnp.int32(end_context_frames),
+            num_valid_samples=jnp.int32(N),
+            num_output_samples=N_pad,
+        )
+        return np.asarray(x_hat)[:N], np.asarray(masks)

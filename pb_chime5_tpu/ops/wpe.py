@@ -76,13 +76,42 @@ def get_power_inverse(X, psd_context: int = 0, frame_mask=None):
     return 1.0 / jnp.maximum(power, floor)
 
 
-def _wpe_iteration(Y, Y_tilde, inv_power):
+def _wpe_iteration(Y, Y_tilde, inv_power, regularization):
     """One WPE filter update.  Y (F, D, T), Y_tilde (F, taps*D, T),
-    inv_power (F, T) -> dereverberated X (F, D, T)."""
+    inv_power (F, T) -> dereverberated X (F, D, T).
+
+    ``regularization`` selects an equilibrated, diagonally-loaded Cholesky
+    solve.  The reference (nara_wpe + stable_solve) runs float64 where the
+    unregularized LU solve is adequate; in float32 on TPU the
+    taps*D-dimensional R is routinely ill-conditioned enough that the plain
+    solve amplifies roundoff by orders of magnitude (and an unequilibrated
+    Cholesky can outright fail on roundoff-indefinite R).  The default
+    1e-4 loading on the unit-diagonal-scaled R bounds the condition number
+    at ~1e4 with negligible effect on the prediction (documented
+    deviation; set regularization=0 for reference-exact float64 behaviour).
+    """
     weighted = Y_tilde * inv_power[:, None, :].astype(Y_tilde.dtype)
-    R = jnp.einsum('fit,fjt->fij', weighted, Y_tilde.conj())
+    R = hermitize(jnp.einsum('fit,fjt->fij', weighted, Y_tilde.conj()))
     P = jnp.einsum('fit,fjt->fij', weighted, Y.conj())
-    G = stable_solve(hermitize(R), P)                       # (F, taps*D, D)
+    if regularization:
+        # Jacobi-equilibrated, diagonally-loaded Cholesky solve:
+        # scale R to unit diagonal (D^-1/2 R D^-1/2) so the loading is
+        # well-proportioned to lambda_max and float32 roundoff cannot make
+        # the factorization fail, then unscale the solution.
+        dim = R.shape[-1]
+        rdtype = inv_power.dtype
+        diag = jnp.diagonal(R, axis1=-2, axis2=-1).real
+        d = jnp.sqrt(jnp.maximum(diag, jnp.finfo(rdtype).tiny))
+        dinv = (1.0 / d).astype(R.dtype)                    # (F, taps*D)
+        Rs = R * dinv[..., :, None] * dinv[..., None, :]
+        Rs = Rs + jnp.asarray(regularization, R.dtype) * jnp.eye(
+            dim, dtype=R.dtype)
+        L = jnp.linalg.cholesky(Rs)
+        Ps = P * dinv[..., :, None]
+        G = jax.scipy.linalg.cho_solve((L, True), Ps)       # (F, taps*D, D)
+        G = G * dinv[..., :, None]
+    else:
+        G = stable_solve(R, P)
     tail = jnp.einsum('fid,fit->fdt', G.conj(), Y_tilde)
     return Y - tail
 
@@ -90,9 +119,9 @@ def _wpe_iteration(Y, Y_tilde, inv_power):
 @functools.partial(
     jax.jit,
     static_argnames=('taps', 'delay', 'iterations', 'psd_context',
-                     'has_frame_mask'))
-def _wpe_impl(Y, taps, delay, iterations, psd_context, frame_mask,
-              has_frame_mask):
+                     'regularization', 'has_frame_mask'))
+def _wpe_impl(Y, taps, delay, iterations, psd_context, regularization,
+              frame_mask, has_frame_mask):
     fm = frame_mask if has_frame_mask else None
     Y_tilde = build_y_tilde(Y, taps, delay)
     if fm is not None:
@@ -100,7 +129,7 @@ def _wpe_impl(Y, taps, delay, iterations, psd_context, frame_mask,
 
     def body(_, X):
         inv_power = get_power_inverse(X, psd_context, fm)
-        return _wpe_iteration(Y, Y_tilde, inv_power)
+        return _wpe_iteration(Y, Y_tilde, inv_power, regularization)
 
     X = jax.lax.fori_loop(0, iterations, body, Y)
     if fm is not None:
@@ -109,7 +138,8 @@ def _wpe_impl(Y, taps, delay, iterations, psd_context, frame_mask,
 
 
 def wpe(Y, *, taps: int = 10, delay: int = 2, iterations: int = 3,
-        psd_context: int = 0, frame_mask=None):
+        psd_context: int = 0, regularization: float = 1e-4,
+        frame_mask=None):
     """Batched offline WPE.
 
     Args:
@@ -124,6 +154,7 @@ def wpe(Y, *, taps: int = 10, delay: int = 2, iterations: int = 3,
     """
     Y = jnp.asarray(Y)
     return _wpe_impl(Y, taps, delay, iterations, psd_context,
+                     regularization,
                      frame_mask if frame_mask is None
                      else jnp.asarray(frame_mask, dtype=bool),
                      frame_mask is not None)

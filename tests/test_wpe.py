@@ -45,7 +45,7 @@ def test_power_inverse_floor(rng):
 def test_wpe_matches_numpy_oracle(rng):
     Y = _random_reverberant(rng)
     Xr = ref.wpe_np(Y, taps=4, delay=2, iterations=3)
-    Xj = np.asarray(wpe(jnp.asarray(Y), taps=4, delay=2, iterations=3))
+    Xj = np.asarray(wpe(jnp.asarray(Y), taps=4, delay=2, iterations=3, regularization=0.0))
     np.testing.assert_allclose(Xj, Xr, atol=1e-4, rtol=1e-4)
 
 
@@ -53,7 +53,7 @@ def test_wpe_psd_context_matches_oracle(rng):
     Y = _random_reverberant(rng, F=4, D=2, T=50)
     Xr = ref.wpe_np(Y, taps=3, delay=1, iterations=2, psd_context=2)
     Xj = np.asarray(wpe(jnp.asarray(Y), taps=3, delay=1, iterations=2,
-                        psd_context=2))
+                        psd_context=2, regularization=0.0))
     np.testing.assert_allclose(Xj, Xr, atol=1e-4, rtol=1e-4)
 
 
