@@ -1,0 +1,78 @@
+"""Benchmark: real-time factor of the full GSS chain on one chip.
+
+Workload = the reference's headline configuration (BASELINE.md): CHiME-5
+multi-array GSS — 24 channels (6 arrays x 4 mics), STFT 1024/256 fading,
+WPE taps=10 delay=2 iters=3, cacGMM 20+1 iterations with K=5 classes over
+513 bins, MVDR-Souden + BAN — on an utterance with +-15 s context
+(reference defaults, pb_chime5/core.py:574-601).
+
+Prints ONE json line:
+  {"metric": "xRT_chime5_multiarray_gss", "value": <audio_s / wall_s>,
+   "unit": "x_realtime", "vs_baseline": <value / 20.0>}
+
+The reference publishes no throughput numbers (BASELINE.md); the agreed
+north star is >= 20x real time per chip, so vs_baseline = value / 20.
+"""
+
+import json
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    from pb_chime5_tpu.models.gss import GssConfig, gss_enhance
+    from pb_chime5_tpu.utils import activity_time_to_frequency
+
+    fs = 16000
+    utterance_seconds = 10.0
+    context_seconds = 15.0
+    seconds = utterance_seconds + 2 * context_seconds   # reference default
+    N = int(seconds * fs)
+    D = 24          # 6 arrays x 4 mics, multiarray=True
+    K = 5           # 4 speakers + garbage class
+
+    config = GssConfig()     # reference defaults
+    rng = np.random.default_rng(0)
+    envelope = np.abs(rng.standard_normal(N // 800 + 1)).repeat(800)[:N]
+    obs = (rng.standard_normal((D, N)) * envelope * 0.1).astype(np.float32)
+    activity = np.zeros((K, N), bool)
+    for k in range(K - 1):
+        activity[k, rng.integers(0, N // 2):rng.integers(N // 2, N)] = True
+    activity[-1] = True
+    act_f = activity_time_to_frequency(
+        activity, config.stft_size, config.stft_shift,
+        stft_fading=config.stft_fading, stft_pad=True).astype(np.int8)
+
+    ctx_frames = 937    # ~15 s of context frames (bf_drop_context)
+    args = (jnp.asarray(obs), jnp.asarray(act_f), jnp.int32(0))
+    kwargs = dict(config=config,
+                  start_context_frames=jnp.int32(ctx_frames),
+                  end_context_frames=jnp.int32(ctx_frames))
+
+    # compile + warm up.  NOTE: timing is closed by a device->host transfer
+    # (np.asarray), not block_until_ready — the experimental axon backend's
+    # block_until_ready returns before execution completes.
+    x, _ = gss_enhance(*args, **kwargs)
+    np.asarray(x)
+
+    reps = 3
+    start = time.perf_counter()
+    for _ in range(reps):
+        x, _ = gss_enhance(*args, **kwargs)
+        np.asarray(x)
+    wall = (time.perf_counter() - start) / reps
+
+    xrt = seconds / wall
+    print(json.dumps({
+        'metric': 'xRT_chime5_multiarray_gss',
+        'value': round(xrt, 2),
+        'unit': 'x_realtime',
+        'vs_baseline': round(xrt / 20.0, 3),
+    }))
+
+
+if __name__ == '__main__':
+    main()

@@ -7,8 +7,11 @@ import contextlib
 import os
 from pathlib import Path
 
+import numpy as np
+
 from pb_chime5_tpu.io.audio import (
-    load_audio, dump_audio, audio_length, audio_channels)
+    load_audio as _load_audio_single, dump_audio, audio_length,
+    audio_channels)
 from pb_chime5_tpu.io.json_io import (
     Encoder, load_json, loads_json, dump_json, dumps_json)
 
@@ -17,6 +20,36 @@ __all__ = [
     'load_json', 'loads_json', 'dump_json', 'dumps_json', 'Encoder',
     'mkdir_p', 'symlink', 'change_directory', 'recursive_transform',
 ]
+
+
+def recursive_load_decorator(default_list_to='list'):
+    """Make a loader map over nested dict/list path trees, stacking lists
+    (reference io/load_decorator.py:4-50; the reference's public
+    ``load_audio`` is the audio reader wrapped with
+    ``default_list_to='array'`` so a CHiME array's 4 per-channel wav paths
+    load as one (4, N) array)."""
+    def decorator(func):
+        def wrapper(path, *args, list_to=default_list_to, **kwargs):
+            def self_call(p):
+                return wrapper(p, *args, list_to=list_to, **kwargs)
+            if isinstance(path, (list, tuple)):
+                if list_to == 'dict':
+                    return {f: self_call(f) for f in path}
+                if list_to == 'array':
+                    return np.array([self_call(f) for f in path])
+                if list_to == 'list':
+                    return [self_call(f) for f in path]
+                raise ValueError(list_to)
+            if isinstance(path, dict):
+                return type(path)(
+                    {k: self_call(v) for k, v in path.items()})
+            return func(path, *args, **kwargs)
+        return wrapper
+    return decorator
+
+
+load_audio = recursive_load_decorator(default_list_to='array')(
+    _load_audio_single)
 
 
 def mkdir_p(path):

@@ -1,0 +1,376 @@
+"""Host-side CHiME-5 session enhancer — the reference's ``Enhancer`` API.
+
+Behavioural rebuild of pb_chime5/core.py:281-637: per-session iteration,
+multi-array stacking, activity slicing, context bookkeeping and WAV output
+stay on the host; everything numeric is one call into the fused TPU
+program (``pb_chime5_tpu.models.gss.gss_enhance``).
+
+Differences from the reference (by design):
+* the MPI pool is replaced by a pluggable shard function / work queue
+  (``pb_chime5_tpu.parallel.scheduler``),
+* utterances are padded to length buckets so XLA compiles once per
+  bucket instead of once per length.
+"""
+
+import dataclasses
+import functools
+import pickle
+from pathlib import Path
+
+import numpy as np
+
+from pb_chime5_tpu import mapping
+from pb_chime5_tpu.database.chime5 import Chime5
+from pb_chime5_tpu.io import dump_audio, load_audio, mkdir_p
+from pb_chime5_tpu.models.gss import GssConfig, GssPipeline
+from pb_chime5_tpu.ops.stft import samples_to_stft_frames
+from pb_chime5_tpu.parallel.scheduler import length_balanced_shard
+from pb_chime5_tpu.utils.activity_freq import activity_time_to_frequency
+
+__all__ = ['Activity', 'Enhancer', 'get_enhancer',
+           'start_end_context_frames', 'DEFAULT_LENGTH_BUCKETS']
+
+JSON_PATH = Path('cache')
+
+# 16 kHz samples; an utterance + 2 x 15 s context is <= ~40 s for almost
+# every CHiME-5 utterance, so a handful of buckets bounds recompilation.
+DEFAULT_LENGTH_BUCKETS = tuple(
+    16000 * s for s in (34, 38, 42, 48, 60, 90, 150, 300))
+
+
+@dataclasses.dataclass(eq=False)  # identity hash: methods are lru_cached
+class Activity:
+    """Session activity provider (reference core.py:91-141).
+
+    type 'annotation': rasterize the database's utterance annotations
+    (one ArrayInterval per (array, speaker)); 'path': load pre-computed
+    pickles (e.g. alignment-refined activity from
+    pb_chime5_tpu.activity_alignment).
+    """
+    type: str = 'annotation'
+    garbage_class: bool = False
+    database_path: str = str(JSON_PATH / 'chime5.json')
+    path: str = None
+
+    @functools.cached_property
+    def db(self):
+        return Chime5(self.database_path)
+
+    @functools.lru_cache(maxsize=1)
+    def _load_annotation(self, session_id):
+        from pb_chime5_tpu.activity import get_activity
+        return get_activity(
+            iterator=self.db.get_datasets(session_id),
+            perspective='array',
+            garbage_class=self.garbage_class,
+            dtype=bool,
+            non_sil_alignment_fn=None,
+            use_ArrayIntervall=True,
+        )[session_id]
+
+    def __getitem__(self, session_id):
+        if self.type == 'annotation':
+            return self._load_annotation(session_id)
+        if self.type == 'path':
+            with open(Path(self.path) / f'{session_id}.pkl', 'rb') as fd:
+                return pickle.load(fd)
+        raise ValueError(self.type)
+
+
+def start_end_context_frames(ex, stft_size, stft_shift, stft_fading):
+    """Frames of acoustic context at both ends (reference
+    core.py:217-238)."""
+    start_context_samples = \
+        ex['start_orig']['original'] - ex['start']['original']
+    end_context_samples = ex['end']['original'] - ex['end_orig']['original']
+    assert start_context_samples >= 0, (start_context_samples, ex)
+    assert end_context_samples >= 0, (end_context_samples, ex)
+    return (
+        samples_to_stft_frames(start_context_samples, stft_size,
+                               stft_shift, fading=stft_fading),
+        samples_to_stft_frames(end_context_samples, stft_size,
+                               stft_shift, fading=stft_fading),
+    )
+
+
+@dataclasses.dataclass
+class Enhancer:
+    """Session-level driver (reference core.py:281-571)."""
+    activity: Activity
+    gss_config: GssConfig
+
+    bf_drop_context: bool = True
+    context_samples: int = 240000
+    multiarray: object = False       # True|False|'outer_array_mics'|
+    #                                  'first_array_mics'
+    reference_array: str = None
+    length_buckets: tuple = DEFAULT_LENGTH_BUCKETS
+    compute_dtype: object = np.float32
+
+    def __post_init__(self):
+        self._pipeline = GssPipeline(
+            self.gss_config,
+            length_buckets=(list(self.length_buckets)
+                            if self.length_buckets else None),
+            dtype=self.compute_dtype)
+
+    @property
+    def db(self):
+        return self.activity.db
+
+    @property
+    def stft_size(self):
+        return self.gss_config.stft_size
+
+    @property
+    def stft_shift(self):
+        return self.gss_config.stft_shift
+
+    @property
+    def stft_fading(self):
+        return self.gss_config.stft_fading
+
+    def get_iterator(self, session_id):
+        return self.db.get_iterator_for_session(
+            session_id,
+            audio_read=False,
+            adjust_times=True,
+            drop_unknown_target_speaker=True,
+            context_samples=self.context_samples,
+            equal_start_context=True,
+        )
+
+    # ------------------------------------------------------------------
+
+    def enhance_session(
+            self,
+            session_ids,
+            audio_dir,
+            dataset_slice=False,
+            audio_dir_exist_ok=False,
+            is_master=True,
+            shard_fn=length_balanced_shard,
+            progress=None,
+    ):
+        """Enhance all utterances of the given session(s) into
+        ``audio_dir/<dataset>/<example_id>.wav``.
+
+        ``shard_fn(examples, length_fn)`` selects this process's subset
+        (default: deterministic length-balanced sharding; pass
+        ``serial_shard`` for single-process, or a FileQueueScheduler bound
+        call for dynamic pulling).
+        """
+        audio_dir = Path(audio_dir)
+        it = self.get_iterator(session_ids)
+
+        if is_master:
+            audio_dir.mkdir(exist_ok=audio_dir_exist_ok, parents=True)
+            for dataset in set(mapping.session_to_dataset.values()):
+                (audio_dir / dataset).mkdir(exist_ok=True)
+
+        if dataset_slice is not False:
+            if dataset_slice is True:
+                it = it[:2]
+            elif isinstance(dataset_slice, int):
+                it = it[:dataset_slice]
+            elif isinstance(dataset_slice, slice):
+                it = it[dataset_slice]
+            else:
+                raise ValueError(dataset_slice)
+
+        examples = list(it)
+
+        def length_fn(ex):
+            ns = ex['num_samples']
+            return ns['original'] if isinstance(ns, dict) else ns
+
+        for ex in shard_fn(examples, length_fn):
+            x_hat = self.enhance_example(ex)
+            example_id = ex['example_id']
+            dataset = mapping.session_to_dataset[ex['session_id']]
+            assert x_hat.ndim == 1, x_hat.shape
+            dump_audio(x_hat, audio_dir / dataset / f'{example_id}.wav')
+            if progress is not None:
+                progress(example_id)
+
+    # ------------------------------------------------------------------
+
+    def _resolve_reference_array(self, ex):
+        if self.reference_array is not None:
+            return self.reference_array
+        try:
+            return ex['reference_array']
+        except KeyError:
+            raise RuntimeError(
+                'Failed to get the "reference_array" from the example.\n'
+                'Probably you tried to enhance the "train" dataset.\n'
+                'Train has no "reference_array".\n'
+                'You can set a "reference_array" from the commandline '
+                'with\n\tpython -m ... with ... reference_array=U06\n'
+                'In case of multiarray, the reference array is used for '
+                'the projection of the human annotations.'
+            ) from None
+
+    def _load_observation(self, ex, reference_array):
+        """Multi-array stacking (reference core.py:427-490)."""
+        def load_arrays(channel_selector):
+            arrays = []
+            for array in sorted(ex['audio_path']['observation'].keys()):
+                audio = load_audio(
+                    ex['audio_path']['observation'][array],
+                    start=ex['start']['observation'][array],
+                    stop=ex['end']['observation'][array],
+                )
+                arrays.append(audio[channel_selector])
+            assert {a.ndim for a in arrays} == {2}, \
+                [a.shape for a in arrays]
+            time_length = min(a.shape[-1] for a in arrays)
+            stacked = np.array([a[..., :time_length] for a in arrays])
+            # 'ACN->A*CN'
+            return stacked.reshape(-1, time_length)
+
+        if self.multiarray is True:
+            return load_arrays(slice(None))
+        if self.multiarray == 'outer_array_mics':
+            return load_arrays((0, -1))
+        if self.multiarray == 'first_array_mics':
+            return load_arrays((0,))
+        if self.multiarray is False:
+            return load_audio(
+                ex['audio_path']['observation'][reference_array],
+                start=ex['start']['observation'][reference_array],
+                stop=ex['end']['observation'][reference_array],
+            )
+        raise ValueError(self.multiarray)
+
+    def enhance_example(self, ex):
+        session_id = ex['session_id']
+        reference_array = self._resolve_reference_array(ex)
+        speaker_id = ex['speaker_id']
+
+        array_start = ex['start']['observation'][reference_array]
+        array_end = ex['end']['observation'][reference_array]
+
+        ex_array_activity = {
+            k: arr[array_start:min(array_end, len(arr))]
+            for k, arr in self.activity[session_id][
+                reference_array].items()
+        }
+
+        obs = self._load_observation(ex, reference_array)
+
+        x_hat = self.enhance_observation(
+            obs,
+            ex_array_activity=ex_array_activity,
+            speaker_id=speaker_id,
+            ex=ex,
+        )
+
+        if self.context_samples > 0:
+            start_orig = ex['start_orig']['observation'][reference_array]
+            start = ex['start']['observation'][reference_array]
+            start_context = start_orig - start
+            num_samples_orig = \
+                ex['num_samples_orig']['observation'][reference_array]
+            x_hat = x_hat[..., start_context:
+                          start_context + num_samples_orig]
+        return x_hat
+
+    def enhance_observation(self, obs, ex_array_activity, speaker_id,
+                            ex=None):
+        activity_freq = activity_time_to_frequency(
+            np.array(list(ex_array_activity.values())),
+            stft_window_length=self.stft_size,
+            stft_shift=self.stft_shift,
+            stft_fading=self.stft_fading,
+            stft_pad=True,
+        )
+
+        if self.bf_drop_context:
+            start_context_frames, end_context_frames = \
+                start_end_context_frames(
+                    ex,
+                    stft_size=self.stft_size,
+                    stft_shift=self.stft_shift,
+                    stft_fading=self.stft_fading,
+                )
+        else:
+            start_context_frames = end_context_frames = 0
+
+        target_index = tuple(ex_array_activity.keys()).index(speaker_id)
+
+        x_hat, _ = self._pipeline(
+            obs, activity_freq, target_index,
+            start_context_frames=start_context_frames,
+            end_context_frames=end_context_frames,
+        )
+        return x_hat
+
+
+def get_enhancer(
+    multiarray=False,
+    reference_array=None,
+    context_samples=240000,
+
+    wpe=True,
+    wpe_tabs=10,
+    wpe_delay=2,
+    wpe_iterations=3,
+    wpe_psd_context=0,
+
+    activity_type='annotation',
+    activity_path=None,
+    activity_garbage_class=True,
+
+    stft_size=1024,
+    stft_shift=256,
+    stft_fading=True,
+
+    bss_iterations=20,
+    bss_iterations_post=1,
+
+    bf_drop_context=True,
+
+    bf='mvdrSouden_ban',
+    postfilter=None,
+
+    database_path=str(JSON_PATH / 'chime5.json'),
+
+    length_buckets=DEFAULT_LENGTH_BUCKETS,
+    compute_dtype=np.float32,
+):
+    """Factory with the reference's exact keyword surface
+    (pb_chime5/core.py:574-637; the sacred CLI auto-derives its config
+    from this signature)."""
+    assert wpe is True or wpe is False, wpe
+    assert activity_path is None or activity_type == 'path', \
+        (activity_path, activity_type)
+
+    return Enhancer(
+        activity=Activity(
+            type=activity_type,
+            garbage_class=activity_garbage_class,
+            path=activity_path,
+            database_path=database_path,
+        ),
+        gss_config=GssConfig(
+            stft_size=stft_size,
+            stft_shift=stft_shift,
+            stft_fading=stft_fading,
+            wpe=wpe,
+            wpe_taps=wpe_tabs,
+            wpe_delay=wpe_delay,
+            wpe_iterations=wpe_iterations,
+            wpe_psd_context=wpe_psd_context,
+            bss_iterations=bss_iterations,
+            bss_iterations_post=bss_iterations_post,
+            bf=bf,
+            postfilter=postfilter,
+        ),
+        bf_drop_context=bf_drop_context,
+        context_samples=context_samples,
+        multiarray=multiarray,
+        reference_array=reference_array,
+        length_buckets=length_buckets,
+        compute_dtype=compute_dtype,
+    )

@@ -1,0 +1,231 @@
+"""CHiME-6 session enhancer (one global clock).
+
+Behavioural rebuild of pb_chime5/core_chime6.py: identical numeric chain,
+simplified timing — examples carry flat int ``start``/``end`` (no
+per-array clocks), activity comes from ``get_activity_chime6`` keyed
+[session][speaker], no ``adjust_times`` / ``equal_start_context``
+(core_chime6.py:322-330).
+"""
+
+import dataclasses
+import functools
+import pickle
+from pathlib import Path
+
+import numpy as np
+
+from pb_chime5_tpu import mapping
+from pb_chime5_tpu.database.chime5 import Chime5
+from pb_chime5_tpu.io import dump_audio, load_audio
+from pb_chime5_tpu.models.gss import GssConfig
+from pb_chime5_tpu.models.enhancer import (
+    Enhancer as _Chime5Enhancer, DEFAULT_LENGTH_BUCKETS, JSON_PATH)
+from pb_chime5_tpu.ops.stft import samples_to_stft_frames
+
+__all__ = ['Activity', 'Enhancer', 'get_enhancer',
+           'start_end_context_frames']
+
+
+@dataclasses.dataclass(eq=False)
+class Activity:
+    """CHiME-6 activity: [session][speaker] (reference
+    core_chime6.py:91-140)."""
+    type: str = 'annotation'
+    garbage_class: bool = False
+    database_path: str = str(JSON_PATH / 'chime6.json')
+    path: str = None
+
+    @functools.cached_property
+    def db(self):
+        return Chime5(self.database_path)
+
+    @functools.lru_cache(maxsize=1)
+    def _load_annotation(self, session_id):
+        from pb_chime5_tpu.activity import get_activity_chime6
+        return get_activity_chime6(
+            iterator=self.db.get_datasets(session_id),
+            garbage_class=self.garbage_class,
+            dtype=bool,
+            non_sil_alignment_fn=None,
+            use_ArrayIntervall=True,
+        )[session_id]
+
+    def __getitem__(self, session_id):
+        if self.type == 'annotation':
+            return self._load_annotation(session_id)
+        if self.type == 'path':
+            with open(Path(self.path) / f'{session_id}.pkl', 'rb') as fd:
+                return pickle.load(fd)
+        raise ValueError(self.type)
+
+
+def start_end_context_frames(ex, stft_size, stft_shift, stft_fading):
+    """Flat-time variant (reference core_chime6.py:216-237)."""
+    start_context_samples = ex['start_orig'] - ex['start']
+    end_context_samples = ex['end'] - ex['end_orig']
+    assert start_context_samples >= 0, (start_context_samples, ex)
+    assert end_context_samples >= 0, (end_context_samples, ex)
+    return (
+        samples_to_stft_frames(start_context_samples, stft_size,
+                               stft_shift, fading=stft_fading),
+        samples_to_stft_frames(end_context_samples, stft_size,
+                               stft_shift, fading=stft_fading),
+    )
+
+
+@dataclasses.dataclass
+class Enhancer(_Chime5Enhancer):
+    """Reuses the CHiME-5 driver; overrides the flat-time pieces."""
+
+    def get_iterator(self, session_id):
+        return self.db.get_iterator_for_session(
+            session_id,
+            audio_read=False,
+            adjust_times=False,
+            drop_unknown_target_speaker=True,
+            context_samples=self.context_samples,
+            equal_start_context=False,
+        )
+
+    def enhance_example(self, ex):
+        session_id = ex['session_id']
+        speaker_id = ex['speaker_id']
+        array_start = ex['start']
+        array_end = ex['end']
+
+        ex_array_activity = {
+            k: arr[array_start:min(array_end, len(arr))]
+            for k, arr in self.activity[session_id].items()
+        }
+
+        obs = self._load_observation_flat(ex)
+
+        x_hat = self.enhance_observation(
+            obs,
+            ex_array_activity=ex_array_activity,
+            speaker_id=speaker_id,
+            ex=ex,
+        )
+
+        if self.context_samples > 0:
+            start_context = ex['start_orig'] - ex['start']
+            x_hat = x_hat[..., start_context:
+                          start_context + ex['num_samples_orig']]
+        return x_hat
+
+    def _load_observation_flat(self, ex):
+        """Multi-array stacking on one global clock (reference
+        core_chime6.py:410-490)."""
+        def load_arrays(channel_selector):
+            arrays = []
+            for array in sorted(ex['audio_path']['observation'].keys()):
+                audio = load_audio(
+                    ex['audio_path']['observation'][array],
+                    start=ex['start'], stop=ex['end'])
+                arrays.append(audio[channel_selector])
+            time_length = min(a.shape[-1] for a in arrays)
+            stacked = np.array([a[..., :time_length] for a in arrays])
+            return stacked.reshape(-1, time_length)
+
+        if self.multiarray is True:
+            return load_arrays(slice(None))
+        if self.multiarray == 'outer_array_mics':
+            return load_arrays((0, -1))
+        if self.multiarray == 'first_array_mics':
+            return load_arrays((0,))
+        if self.multiarray is False:
+            reference_array = self._resolve_reference_array(ex)
+            return load_audio(
+                ex['audio_path']['observation'][reference_array],
+                start=ex['start'], stop=ex['end'])
+        raise ValueError(self.multiarray)
+
+    def enhance_observation(self, obs, ex_array_activity, speaker_id,
+                            ex=None):
+        from pb_chime5_tpu.utils.activity_freq import (
+            activity_time_to_frequency)
+
+        activity_freq = activity_time_to_frequency(
+            np.array(list(ex_array_activity.values())),
+            stft_window_length=self.stft_size,
+            stft_shift=self.stft_shift,
+            stft_fading=self.stft_fading,
+            stft_pad=True,
+        )
+        if self.bf_drop_context:
+            start_context_frames, end_context_frames = \
+                start_end_context_frames(
+                    ex, stft_size=self.stft_size,
+                    stft_shift=self.stft_shift,
+                    stft_fading=self.stft_fading)
+        else:
+            start_context_frames = end_context_frames = 0
+
+        target_index = tuple(ex_array_activity.keys()).index(speaker_id)
+        x_hat, _ = self._pipeline(
+            obs, activity_freq, target_index,
+            start_context_frames=start_context_frames,
+            end_context_frames=end_context_frames,
+        )
+        return x_hat
+
+
+def get_enhancer(
+    multiarray=False,
+    reference_array=None,
+    context_samples=240000,
+
+    wpe=True,
+    wpe_tabs=10,
+    wpe_delay=2,
+    wpe_iterations=3,
+    wpe_psd_context=0,
+
+    activity_type='annotation',
+    activity_path=None,
+    activity_garbage_class=True,
+
+    stft_size=1024,
+    stft_shift=256,
+    stft_fading=True,
+
+    bss_iterations=20,
+    bss_iterations_post=1,
+
+    bf_drop_context=True,
+
+    bf='mvdrSouden_ban',
+    postfilter=None,
+
+    database_path=str(JSON_PATH / 'chime6.json'),
+
+    length_buckets=DEFAULT_LENGTH_BUCKETS,
+    compute_dtype=np.float32,
+):
+    """Factory mirroring pb_chime5/core_chime6.py:571-634."""
+    assert wpe is True or wpe is False, wpe
+    assert activity_path is None or activity_type == 'path', \
+        (activity_path, activity_type)
+    return Enhancer(
+        activity=Activity(
+            type=activity_type,
+            garbage_class=activity_garbage_class,
+            path=activity_path,
+            database_path=database_path,
+        ),
+        gss_config=GssConfig(
+            stft_size=stft_size, stft_shift=stft_shift,
+            stft_fading=stft_fading,
+            wpe=wpe, wpe_taps=wpe_tabs, wpe_delay=wpe_delay,
+            wpe_iterations=wpe_iterations, wpe_psd_context=wpe_psd_context,
+            bss_iterations=bss_iterations,
+            bss_iterations_post=bss_iterations_post,
+            bf=bf, postfilter=postfilter,
+        ),
+        bf_drop_context=bf_drop_context,
+        context_samples=context_samples,
+        multiarray=multiarray,
+        reference_array=reference_array,
+        length_buckets=length_buckets,
+        compute_dtype=compute_dtype,
+    )

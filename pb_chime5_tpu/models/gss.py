@@ -67,8 +67,14 @@ class GssConfig:
         )
 
 
-def _beamform(Obs_fdt, target_mask_kt, distortion_mask_kt, config):
-    """Obs (F, D, T), masks (T, F)-style handled by caller as (F, T)."""
+def _beamform(Obs_fdt, target_mask_kt, distortion_mask_kt, config,
+              snr_reduce=None):
+    """Obs (F, D, T), masks (T, F)-style handled by caller as (F, T).
+
+    ``snr_reduce`` optionally reduces the reference-channel SNR statistics
+    across a sharded frequency axis (a ``psum`` under ``shard_map``) so
+    every shard picks the same global reference channel.
+    """
     kind = config.bf
     if kind in ('ch2', 'sum'):
         X = Obs_fdt[:, 2, :] if kind == 'ch2' else jnp.sum(Obs_fdt, axis=1)
@@ -76,7 +82,8 @@ def _beamform(Obs_fdt, target_mask_kt, distortion_mask_kt, config):
     cov_x = bf.psd_matrix(Obs_fdt, target_mask_kt)
     cov_n = bf.psd_matrix(Obs_fdt, distortion_mask_kt)
     if kind in ('mvdrSouden_ban', 'mvdr_souden'):
-        w = bf.mvdr_souden_vector(cov_x, cov_n, eps=1e-10)
+        w = bf.mvdr_souden_vector(cov_x, cov_n, eps=1e-10,
+                                  snr_reduce=snr_reduce)
         if kind == 'mvdrSouden_ban':
             w = bf.blind_analytic_normalization(w, cov_n)
     elif kind in ('gev_ban', 'gev'):
@@ -86,6 +93,65 @@ def _beamform(Obs_fdt, target_mask_kt, distortion_mask_kt, config):
     else:
         raise NotImplementedError(kind)
     return bf.apply_beamforming_vector(w, Obs_fdt)
+
+
+def enhance_spectrogram(
+        Obs_fdt,
+        activity_freq,
+        target_index,
+        *,
+        config: GssConfig,
+        start_context_frames=0,
+        end_context_frames=0,
+        frame_mask=None,
+        snr_reduce=None,
+):
+    """The frequency-domain middle of the pipeline: WPE -> EM -> context
+    drop -> beamformer.  Every step is per-frequency independent except
+    the MVDR reference-channel statistic (see ``snr_reduce``), so this
+    function can run on an arbitrary *shard* of the frequency axis.
+
+    Obs_fdt (F, D, T) complex, activity_freq (K, T) ->
+    (X_hat (F, T) complex, masks (F, K, T)).
+    """
+    F, D, T = Obs_fdt.shape
+    if config.wpe:
+        Obs_fdt = wpe(
+            Obs_fdt,
+            taps=config.wpe_taps,
+            delay=config.wpe_delay,
+            iterations=config.wpe_iterations,
+            psd_context=config.wpe_psd_context,
+            frame_mask=frame_mask,
+        )
+
+    masks = cacgmm_posteriors(
+        jnp.transpose(Obs_fdt, (0, 2, 1)),                 # (F, T, D)
+        activity_freq,
+        config=config.cacgmm_config,
+        frame_mask=frame_mask,
+    )                                                      # (F, K, T)
+
+    frame_idx = jnp.arange(T)
+    keep = (frame_idx >= start_context_frames) & \
+           (frame_idx < T - end_context_frames)
+    if frame_mask is not None:
+        keep = keep & frame_mask
+    masks = masks * keep[None, None, :].astype(masks.dtype)
+
+    target_mask = jnp.take_along_axis(
+        masks, jnp.full((F, 1, T), target_index, dtype=jnp.int32), axis=1
+    )[:, 0, :]                                             # (F, T)
+    distortion_mask = jnp.sum(masks, axis=1) - target_mask
+
+    X_hat = _beamform(Obs_fdt, target_mask, distortion_mask, config,
+                      snr_reduce=snr_reduce)               # (F, T)
+
+    if config.postfilter == 'mask_mul':
+        X_hat = X_hat * target_mask.astype(X_hat.dtype)
+    elif config.postfilter is not None:
+        raise NotImplementedError(config.postfilter)
+    return X_hat, masks
 
 
 @functools.partial(
@@ -147,43 +213,13 @@ def gss_enhance(
     else:
         frame_mask = None
 
-    if config.wpe:
-        Obs = wpe(
-            Obs,
-            taps=config.wpe_taps,
-            delay=config.wpe_delay,
-            iterations=config.wpe_iterations,
-            psd_context=config.wpe_psd_context,
-            frame_mask=frame_mask,
-        )
-
-    masks = cacgmm_posteriors(
-        jnp.transpose(Obs, (0, 2, 1)),                         # (F, T, D)
-        activity_freq,
-        config=config.cacgmm_config,
+    X_hat, masks = enhance_spectrogram(
+        Obs, activity_freq, target_index,
+        config=config,
+        start_context_frames=start_context_frames,
+        end_context_frames=end_context_frames,
         frame_mask=frame_mask,
-    )                                                          # (F, K, T)
-
-    # bf_drop_context: zero *all* class masks in the context frames
-    # (reference core.py:545-547 zeroes every class, so those frames drop
-    # out of both PSDs).
-    keep = (frame_idx >= start_context_frames) & \
-           (frame_idx < T - end_context_frames)
-    if frame_mask is not None:
-        keep = keep & frame_mask
-    masks = masks * keep[None, None, :].astype(masks.dtype)
-
-    target_mask = jnp.take_along_axis(
-        masks, jnp.full((F, 1, T), target_index, dtype=jnp.int32), axis=1
-    )[:, 0, :]                                                 # (F, T)
-    distortion_mask = jnp.sum(masks, axis=1) - target_mask
-
-    X_hat = _beamform(Obs, target_mask, distortion_mask, config)  # (F, T)
-
-    if config.postfilter == 'mask_mul':
-        X_hat = X_hat * target_mask.astype(X_hat.dtype)
-    elif config.postfilter is not None:
-        raise NotImplementedError(config.postfilter)
+    )
 
     x_hat = istft(
         X_hat.T, size, shift, fading=config.stft_fading,
@@ -209,7 +245,10 @@ class GssPipeline:
         for b in self.length_buckets:
             if n <= b:
                 return b
-        return self.length_buckets[-1]
+        # longer than every bucket: round up to a multiple of the largest
+        # bucket's granularity so outliers still share compilations
+        top = self.length_buckets[-1]
+        return -(-n // top) * top
 
     def frame_count(self, num_samples: int) -> int:
         return stft_frame_count(

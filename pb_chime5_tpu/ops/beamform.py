@@ -24,6 +24,11 @@ import functools
 import jax
 import jax.numpy as jnp
 
+# float32 MXU precision for every PSD/quadratic-form contraction (TPU's
+# default bf16 matmul precision is not sufficient for D x D covariance
+# conditioning).
+_HIGHEST = jax.lax.Precision.HIGHEST
+
 from pb_chime5_tpu.ops.linalg import hermitize, stable_solve, eye_like
 
 __all__ = [
@@ -74,27 +79,38 @@ def psd_matrix(Y, mask=None):
         mask = jnp.ones(Y.shape[:1] + Y.shape[2:], dtype=Y.real.dtype)
     mask = jnp.asarray(mask, dtype=Y.real.dtype)
     weighted = Y * mask[:, None, :].astype(Y.dtype)
-    psd = jnp.einsum('fdt,fet->fde', weighted, Y.conj())
+    psd = jnp.einsum('fdt,fet->fde', weighted, Y.conj(),
+                     precision=_HIGHEST)
     norm = jnp.maximum(jnp.sum(mask, axis=-1), jnp.finfo(mask.dtype).tiny)
     return psd / norm[:, None, None].astype(Y.dtype)
 
 
-def _snr_optimal_reference_channel(w_mat, cov_x, cov_n, eps):
+def _snr_optimal_reference_channel(w_mat, cov_x, cov_n, eps,
+                                   snr_reduce=None):
     """Reference channel maximizing the frequency-summed output SNR.
 
     w_mat (F, D, R): candidate beamformers (one per reference channel R).
     Returns a scalar int channel index (pb_bss
     ``get_optimal_reference_channel`` semantics: numerator and denominator
     each summed over frequency *and* channels before the ratio).
+
+    ``snr_reduce`` optionally sums the (R,) statistics across a sharded
+    frequency axis (``psum`` under ``shard_map``) so every shard selects
+    the same channel.
     """
-    num = jnp.einsum('fdr,fde,fer->r', w_mat.conj(), cov_x, w_mat).real
-    den = jnp.einsum('fdr,fde,fer->r', w_mat.conj(), cov_n, w_mat).real
+    num = jnp.einsum('fdr,fde,fer->r', w_mat.conj(), cov_x, w_mat,
+                     precision=_HIGHEST).real
+    den = jnp.einsum('fdr,fde,fer->r', w_mat.conj(), cov_n, w_mat,
+                     precision=_HIGHEST).real
+    if snr_reduce is not None:
+        num = snr_reduce(num)
+        den = snr_reduce(den)
     snr = num / jnp.maximum(den, eps)
     return jnp.argmax(snr)
 
 
 def mvdr_souden_vector(cov_x, cov_n, *, eps=1e-10, ref_channel=None,
-                       return_ref_channel=False):
+                       return_ref_channel=False, snr_reduce=None):
     """MVDR (Souden):  w = (Phi_N^{-1} Phi_X / tr(Phi_N^{-1} Phi_X)) e_ref.
 
     cov_x, cov_n (F, D, D) -> w (F, D).  When ``ref_channel`` is None the
@@ -105,7 +121,8 @@ def mvdr_souden_vector(cov_x, cov_n, *, eps=1e-10, ref_channel=None,
     lam = jnp.trace(phi, axis1=-2, axis2=-1).real[..., None, None]
     mat = phi / jnp.maximum(lam, eps).astype(phi.dtype)
     if ref_channel is None:
-        ref_channel = _snr_optimal_reference_channel(mat, cov_x, cov_n, eps)
+        ref_channel = _snr_optimal_reference_channel(
+            mat, cov_x, cov_n, eps, snr_reduce=snr_reduce)
     w = jnp.take(mat, ref_channel, axis=-1)
     if return_ref_channel:
         return w, ref_channel
@@ -128,7 +145,9 @@ def gev_vector(cov_x, cov_n, *, eps_scale=1e-10):
     Linv = jax.scipy.linalg.solve_triangular(
         L, eye_like(L), lower=True)
     # Whitened target PSD: A = L^{-1} Phi_X L^{-H}
-    A = hermitize(Linv @ cov_x @ Linv.conj().swapaxes(-2, -1))
+    A = hermitize(jnp.matmul(
+        jnp.matmul(Linv, cov_x, precision=_HIGHEST),
+        Linv.conj().swapaxes(-2, -1), precision=_HIGHEST))
     _, ev = jnp.linalg.eigh(A)
     u = ev[..., -1]                                   # dominant eigvec
     w = jnp.einsum('fed,fe->fd', Linv.conj(), u)      # w = L^{-H} u
@@ -164,11 +183,12 @@ def lcmv_vector(cov_x, cov_i, cov_n, *, eps=1e-10):
     cov_n_reg = hermitize(cov_n) + jitter[..., None, None].astype(
         cov_n.dtype) * eye_like(cov_n)
     ninv_c = stable_solve(cov_n_reg, C)                   # (F, D, 2)
-    gram = C.conj().swapaxes(-2, -1) @ ninv_c             # (F, 2, 2)
+    gram = jnp.matmul(C.conj().swapaxes(-2, -1), ninv_c,
+                      precision=_HIGHEST)                 # (F, 2, 2)
     g = jnp.zeros((*gram.shape[:-2], 2, 1), dtype=gram.dtype)
     g = g.at[..., 0, 0].set(1.0)
     coef = stable_solve(gram, g)                          # (F, 2, 1)
-    return (ninv_c @ coef)[..., 0]
+    return jnp.matmul(ninv_c, coef, precision=_HIGHEST)[..., 0]
 
 
 def blind_analytic_normalization(w, cov_n):
@@ -177,11 +197,14 @@ def blind_analytic_normalization(w, cov_n):
     Matches pb_bss ``blind_analytic_normalization`` (see SURVEY.md 2.9).
     """
     d = w.shape[-1]
-    nw = jnp.einsum('fde,fe->fd', cov_n, w)
+    nw = jnp.einsum('fde,fe->fd', cov_n, w, precision=_HIGHEST)
     numerator = jnp.sqrt(jnp.abs(
-        jnp.einsum('fd,fd->f', w.conj(), jnp.einsum('fde,fe->fd', cov_n, nw))
+        jnp.einsum('fd,fd->f', w.conj(),
+                   jnp.einsum('fde,fe->fd', cov_n, nw,
+                              precision=_HIGHEST), precision=_HIGHEST)
         / d))
-    denominator = jnp.abs(jnp.einsum('fd,fd->f', w.conj(), nw))
+    denominator = jnp.abs(jnp.einsum('fd,fd->f', w.conj(), nw,
+                                     precision=_HIGHEST))
     gain = numerator / jnp.maximum(denominator,
                                    jnp.finfo(numerator.dtype).tiny)
     return w * gain[..., None].astype(w.dtype)
@@ -189,7 +212,8 @@ def blind_analytic_normalization(w, cov_n):
 
 def apply_beamforming_vector(w, Y):
     """x_hat_ft = sum_d w*_fd y_fdt.   w (F, D), Y (F, D, T) -> (F, T)."""
-    return jnp.einsum('fd,fdt->ft', w.conj(), Y)
+    return jnp.einsum('fd,fdt->ft', w.conj(), Y,
+                      precision=_HIGHEST)
 
 
 # ---------------------------------------------------------------------------

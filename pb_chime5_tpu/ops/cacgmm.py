@@ -42,6 +42,10 @@ import jax.numpy as jnp
 
 from pb_chime5_tpu.ops.linalg import hermitize
 
+# float32 MXU precision for scatter matrices and quadratic forms (the
+# TPU's default bf16 matmul inputs break the EM's conditioning).
+_HIGHEST = jax.lax.Precision.HIGHEST
+
 __all__ = ['CacgmmConfig', 'cacgmm_posteriors', 'make_initialization']
 
 _INIT_FLOOR = 1e-10
@@ -106,7 +110,8 @@ def _m_step(z, gamma, quadratic_form, frame_mask, config):
     covs, precisions, logdets = [], [], []
     for k in range(gamma.shape[0]):
         weighted = z * coeff[k][:, None].astype(z.dtype)   # (T, D)
-        scatter = weighted.T @ z.conj()                    # (D, D)
+        scatter = jnp.matmul(weighted.T, z.conj(),
+                             precision=_HIGHEST)          # (D, D)
         cov = hermitize(scatter * D)
         precision, logdet = _invert(cov, config)
         covs.append(cov)
@@ -132,8 +137,9 @@ def _invert(cov, config):
         floor = jnp.max(ew, axis=-1, keepdims=True) * config.eigenvalue_floor
         # Second clamp keeps an all-zero covariance (silent input) finite.
         ew = jnp.maximum(jnp.maximum(ew, floor), tiny)
-        precision = (ev * (1.0 / ew)[..., None, :].astype(ev.dtype)
-                     ) @ ev.conj().T
+        precision = jnp.matmul(
+            ev * (1.0 / ew)[..., None, :].astype(ev.dtype),
+            ev.conj().T, precision=_HIGHEST)
         logdet = jnp.sum(jnp.log(ew), axis=-1)
         return precision, logdet
     elif config.inverse == 'cholesky':
@@ -147,7 +153,8 @@ def _invert(cov, config):
         L = jnp.linalg.cholesky(cov)
         Linv = jax.scipy.linalg.solve_triangular(
             L, jnp.eye(D, dtype=cov.dtype), lower=True)
-        precision = Linv.conj().T @ Linv
+        precision = jnp.matmul(Linv.conj().T, Linv,
+                               precision=_HIGHEST)
         diag = jnp.diagonal(L, axis1=-2, axis2=-1).real
         logdet = 2.0 * jnp.sum(jnp.log(jnp.maximum(diag, tiny)), axis=-1)
         return precision, logdet
@@ -168,7 +175,8 @@ def _e_step(z, params, source_activity_mask):
     # q_kt = z_t^H P_k z_t, via one batched matmul per class.
     qs = []
     for k in range(precision.shape[0]):
-        vz = z @ precision[k].T                       # (T, D): (P_k z)_d^T
+        vz = jnp.matmul(z, precision[k].T,
+                        precision=_HIGHEST)           # (T, D)
         qs.append(jnp.sum(z.conj() * vz, axis=-1).real)
     quadratic_form = jnp.maximum(jnp.stack(qs), tiny)  # (K, T)
 

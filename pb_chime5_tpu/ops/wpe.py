@@ -29,6 +29,11 @@ import functools
 import jax
 import jax.numpy as jnp
 
+# All statistics contractions run at float32 MXU precision: the TPU's
+# default bf16 matmul inputs destroy the conditioning of the taps*D
+# correlation matrices (Cholesky fails / NaNs at D=24, taps=10).
+_HIGHEST = jax.lax.Precision.HIGHEST
+
 from pb_chime5_tpu.ops.linalg import hermitize, stable_solve
 
 __all__ = ['wpe', 'build_y_tilde', 'get_power_inverse']
@@ -91,8 +96,10 @@ def _wpe_iteration(Y, Y_tilde, inv_power, regularization):
     deviation; set regularization=0 for reference-exact float64 behaviour).
     """
     weighted = Y_tilde * inv_power[:, None, :].astype(Y_tilde.dtype)
-    R = hermitize(jnp.einsum('fit,fjt->fij', weighted, Y_tilde.conj()))
-    P = jnp.einsum('fit,fjt->fij', weighted, Y.conj())
+    R = hermitize(jnp.einsum('fit,fjt->fij', weighted,
+                               Y_tilde.conj(), precision=_HIGHEST))
+    P = jnp.einsum('fit,fjt->fij', weighted, Y.conj(),
+                   precision=_HIGHEST)
     if regularization:
         # Jacobi-equilibrated, diagonally-loaded Cholesky solve:
         # scale R to unit diagonal (D^-1/2 R D^-1/2) so the loading is
@@ -112,7 +119,8 @@ def _wpe_iteration(Y, Y_tilde, inv_power, regularization):
         G = G * dinv[..., :, None]
     else:
         G = stable_solve(R, P)
-    tail = jnp.einsum('fid,fit->fdt', G.conj(), Y_tilde)
+    tail = jnp.einsum('fid,fit->fdt', G.conj(), Y_tilde,
+                      precision=_HIGHEST)
     return Y - tail
 
 

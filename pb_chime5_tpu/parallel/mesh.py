@@ -1,0 +1,130 @@
+"""Device-mesh sharding of the enhancement pipeline.
+
+Two genuine parallel axes for this workload:
+
+* ``data`` — utterances are independent (the reference's only parallelism,
+  via MPI processes; here chips).  No cross-device communication.
+* ``freq`` — inside one utterance, WPE / cacGMM EM / PSDs are independent
+  per frequency bin (the reference runs a Python loop over 513 bins,
+  core.py:171-206).  Sharding F over chips cuts single-utterance latency;
+  the only cross-shard communication is (a) a psum of the MVDR
+  reference-channel SNR statistics and (b) the final all-gather of the
+  beamformed spectrogram for the iSTFT — both tiny, riding ICI.
+
+``sharded_gss_enhance`` runs a (B, D, N) utterance batch over a
+``Mesh(('data', 'freq'))``: B is split over ``data``, the 513-bin
+frequency axis (zero-padded to a multiple) over ``freq``.
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, PartitionSpec as P
+
+from pb_chime5_tpu.models.gss import GssConfig, enhance_spectrogram
+from pb_chime5_tpu.ops.stft import stft, istft
+
+__all__ = ['make_mesh', 'batched_gss_enhance', 'sharded_gss_enhance']
+
+
+def make_mesh(data: int = None, freq: int = 1, devices=None) -> Mesh:
+    """Mesh with ('data', 'freq') axes over the available devices."""
+    if devices is None:
+        devices = jax.devices()
+    n = len(devices)
+    if data is None:
+        assert n % freq == 0, (n, freq)
+        data = n // freq
+    assert data * freq <= n, (data, freq, n)
+    dev_array = np.asarray(devices[:data * freq]).reshape(data, freq)
+    return Mesh(dev_array, ('data', 'freq'))
+
+
+def _single(obs, activity_freq, target_index, num_valid_samples, config,
+            num_output_samples, snr_reduce=None, freq_pad=0, num_freq_shards=1):
+    """One utterance, optionally on a frequency shard (inside shard_map)."""
+    size, shift = config.stft_size, config.stft_shift
+    Obs = stft(obs, size, shift, fading=config.stft_fading)   # (D, T, F)
+    T = Obs.shape[-2]
+
+    pad_extra = 2 * (size - shift) if config.stft_fading else 0
+    t_valid = (num_valid_samples + pad_extra - size + 2 * shift - 1) \
+        // shift
+    frame_mask = jnp.arange(T) < jnp.maximum(t_valid, 1)
+
+    Obs = jnp.transpose(Obs, (2, 0, 1))                        # (F, D, T)
+    if freq_pad:
+        Obs = jnp.pad(Obs, ((0, freq_pad), (0, 0), (0, 0)))
+
+    if snr_reduce is not None:
+        # take this device's frequency block
+        fi = jax.lax.axis_index('freq')
+        f_block = Obs.shape[0] // num_freq_shards
+        Obs = jax.lax.dynamic_slice_in_dim(Obs, fi * f_block, f_block,
+                                           axis=0)
+
+    X_hat, _ = enhance_spectrogram(
+        Obs, activity_freq, target_index,
+        config=config, frame_mask=frame_mask, snr_reduce=snr_reduce)
+
+    if snr_reduce is not None:
+        # reassemble the full frequency axis on every device
+        X_hat = jax.lax.all_gather(X_hat, 'freq', axis=0, tiled=True)
+    F = size // 2 + 1
+    X_hat = X_hat[:F]
+
+    return istft(X_hat.T, size, shift, fading=config.stft_fading,
+                 num_samples=num_output_samples)
+
+
+@functools.partial(
+    jax.jit, static_argnames=('config', 'num_output_samples'))
+def batched_gss_enhance(obs, activity_freq, target_index,
+                        num_valid_samples, *, config: GssConfig,
+                        num_output_samples: int):
+    """vmap over a same-shape utterance batch, single device.
+
+    obs (B, D, N), activity_freq (B, K, T), target_index (B,),
+    num_valid_samples (B,) -> (B, num_output_samples).
+    """
+    fn = functools.partial(_single, config=config,
+                           num_output_samples=num_output_samples)
+    return jax.vmap(fn)(obs, activity_freq, target_index,
+                        num_valid_samples)
+
+
+def sharded_gss_enhance(mesh: Mesh, obs, activity_freq, target_index,
+                        num_valid_samples, *, config: GssConfig,
+                        num_output_samples: int):
+    """Data x frequency sharded batch enhancement over ``mesh``.
+
+    obs (B, D, N) with B divisible by the ``data`` axis size.  Returns
+    (B, num_output_samples) sharded over ``data``.
+    """
+    nd = mesh.shape['data']
+    nf = mesh.shape['freq']
+    B = obs.shape[0]
+    assert B % nd == 0, (B, nd)
+    F = config.stft_size // 2 + 1
+    freq_pad = (-F) % nf
+
+    snr_reduce = (lambda x: jax.lax.psum(x, 'freq')) if nf > 1 else None
+
+    def per_device(obs_l, act_l, tgt_l, valid_l):
+        fn = functools.partial(
+            _single, config=config,
+            num_output_samples=num_output_samples,
+            snr_reduce=snr_reduce, freq_pad=freq_pad if nf > 1 else 0,
+            num_freq_shards=nf)
+        return jax.vmap(fn)(obs_l, act_l, tgt_l, valid_l)
+
+    shard = jax.shard_map(
+        per_device, mesh=mesh,
+        in_specs=(P('data'), P('data'), P('data'), P('data')),
+        out_specs=P('data'),
+        check_vma=False,
+    )
+    return jax.jit(shard)(obs, activity_freq, target_index,
+                          num_valid_samples)

@@ -1,0 +1,233 @@
+"""End-to-end: synthetic corpus -> DB json -> Enhancer -> enhanced WAVs.
+
+This mirrors the reference CI (jenkins.bash): build the database JSON,
+run the CHiME-5 pipeline on a 2-utterance slice, convert to a fake
+CHiME-6 tree, run that pipeline, and run the RTTM (track-2) pipeline.
+"""
+
+import numpy as np
+import pytest
+
+from pb_chime5_tpu.database.create_json import create_database
+from pb_chime5_tpu.io import dump_json, load_audio
+from pb_chime5_tpu.models.enhancer import get_enhancer
+from pb_chime5_tpu.testing import create_synthetic_chime5, \
+    samples_to_time_str
+
+
+@pytest.fixture(scope='module')
+def corpus(tmp_path_factory):
+    root = tmp_path_factory.mktemp('chime5_e2e')
+    info = create_synthetic_chime5(
+        root, session_ids=('S02',), duration_seconds=16.0,
+        utterances_per_speaker=1, num_arrays=2, seed=11)
+    db_dict = create_database(root)
+    json_path = root / 'chime5.json'
+    dump_json(db_dict, json_path)
+    return info, root, json_path
+
+
+SMALL = dict(
+    bss_iterations=5,
+    bss_iterations_post=1,
+    context_samples=8000,
+    length_buckets=(16000 * 2, 16000 * 4),
+)
+
+
+def test_enhancer_single_array(corpus, tmp_path):
+    info, root, json_path = corpus
+    enhancer = get_enhancer(
+        database_path=str(json_path), wpe=False, multiarray=False,
+        **SMALL)
+    enhancer.enhance_session(
+        ['S02'], tmp_path / 'audio', dataset_slice=2,
+        audio_dir_exist_ok=True)
+    wavs = sorted((tmp_path / 'audio' / 'dev').glob('*.wav'))
+    assert len(wavs) == 2, wavs
+    it = enhancer.get_iterator('S02')
+    for wav in wavs:
+        ex = it[wav.stem]
+        x = load_audio(wav)
+        # trimmed back to the original utterance length
+        ref_array = ex['reference_array']
+        assert x.shape == (ex['num_samples_orig']['observation'][ref_array],)
+        assert np.isfinite(x).all()
+        assert np.abs(x).max() > 0
+
+
+def test_enhancer_multiarray_wpe(corpus, tmp_path):
+    info, root, json_path = corpus
+    enhancer = get_enhancer(
+        database_path=str(json_path), wpe=True, multiarray=True, **SMALL)
+    enhancer.enhance_session(
+        ['S02'], tmp_path / 'audio', dataset_slice=1,
+        audio_dir_exist_ok=True)
+    wavs = list((tmp_path / 'audio' / 'dev').glob('*.wav'))
+    assert len(wavs) == 1
+
+
+def test_enhancer_suppresses_other_speakers(corpus, tmp_path):
+    """The enhanced utterance should contain the target speaker's signal:
+    correlation with the target source must dominate all other sources."""
+    info, root, json_path = corpus
+    session = info['sessions']['S02']
+    enhancer = get_enhancer(
+        database_path=str(json_path), wpe=False, multiarray=True, **SMALL)
+    it = enhancer.get_iterator('S02')
+    ex = it[0]
+    x_hat = enhancer.enhance_example(ex)
+
+    spk = ex['speaker_id']
+    k_target = session['speakers'].index(spk)
+    ref_array = ex['reference_array']
+    drift = session['drifts'][ref_array]
+    s0 = ex['start_orig']['observation'][ref_array] - drift
+    n = len(x_hat)
+    corrs = []
+    for k in range(len(session['speakers'])):
+        src = session['sources'][k][s0:s0 + n]
+        m = min(len(src), n)
+        denom = (np.linalg.norm(src[:m]) * np.linalg.norm(x_hat[:m]))
+        corrs.append(0.0 if denom == 0 else abs(
+            float(np.dot(src[:m], x_hat[:m])) / denom))
+    assert np.argmax(corrs) == k_target, (corrs, k_target)
+    assert corrs[k_target] > 0.5, corrs
+
+
+def test_run_cli_test_run(corpus, tmp_path, capsys):
+    """Drive the actual CLI like jenkins.bash does."""
+    _, root, json_path = corpus
+    from pb_chime5_tpu.scripts.run import make_experiment
+    exp = make_experiment(default_storage=tmp_path / 'runs')
+    exp.run_commandline([
+        'test_run', 'with',
+        'session_id=S02',
+        f'database_path={json_path}',
+        'wpe=False',
+        'bss_iterations=2',
+        'context_samples=8000',
+        'length_buckets=(32000,)',
+    ])
+    run_dir = exp.run_dir
+    wavs = list((run_dir / 'audio' / 'dev').glob('*.wav'))
+    assert len(wavs) == 2
+    assert (run_dir / 'config.json').exists()
+    import json
+    meta = json.loads((run_dir / 'run.json').read_text())
+    assert meta['status'] == 'COMPLETED'
+
+
+def test_kaldi_run_cli_sharding(corpus, tmp_path):
+    _, root, json_path = corpus
+    from pb_chime5_tpu.scripts.kaldi_run import make_experiment
+    n_total = 8  # 4 speakers x 1 utt x ... see fixture (>= 2 jobs' worth)
+    for job in (1, 2):
+        exp = make_experiment(default_storage=tmp_path / 'runs')
+        exp.run_commandline([
+            'with',
+            'session_id=S02',
+            f'database_path={json_path}',
+            f'storage_dir={tmp_path / "kaldi"}',
+            'wpe=False', 'bss_iterations=2', 'context_samples=8000',
+            'length_buckets=(32000,)',
+            f'job_id={job}', 'number_of_jobs=2',
+        ])
+    wavs = list((tmp_path / 'kaldi' / 'audio' / 'dev').glob('*.wav'))
+    it_len = 4  # 4 speakers x 1 utterance
+    assert len(wavs) == it_len
+
+
+def test_chime6_pipeline(corpus, tmp_path):
+    """CHiME-5 -> fake CHiME-6 tree -> chime6 db json -> chime6 enhancer
+    (reference jenkins.bash:41-45)."""
+    _, root, json_path = corpus
+    from pb_chime5_tpu.scripts.simulate_chime6_transcriptions import main
+    chime6_dir = tmp_path / 'CHiME6'
+    main(root, chime6_dir)
+
+    from pb_chime5_tpu.database.create_json import create_database
+    db6 = create_database(chime6_dir, chime6=True)
+    json6 = tmp_path / 'chime6.json'
+    dump_json(db6, json6)
+
+    from pb_chime5_tpu.models.enhancer_chime6 import get_enhancer as ge6
+    enhancer = ge6(database_path=str(json6), wpe=False, multiarray=True,
+                   **SMALL)
+    enhancer.enhance_session(
+        ['S02'], tmp_path / 'audio6', dataset_slice=2,
+        audio_dir_exist_ok=True)
+    wavs = list((tmp_path / 'audio6' / 'dev').glob('*.wav'))
+    assert len(wavs) == 2
+    for wav in wavs:
+        x = load_audio(wav)
+        assert np.isfinite(x).all() and x.ndim == 1
+
+
+def test_rttm_pipeline(corpus, tmp_path):
+    """Track-2: build an RTTM from the fixture's ground truth and run the
+    RTTM enhancer over the (symlinked) CHiME-6 tree."""
+    info, root, json_path = corpus
+    session = info['sessions']['S02']
+
+    from pb_chime5_tpu.scripts.simulate_chime6_transcriptions import main
+    chime6_dir = tmp_path / 'CHiME6'
+    main(root, chime6_dir)
+
+    # RTTM with the kaldi '_U06' postfix convention
+    lines = []
+    for utt in session['utterances']:
+        b = utt['start'] / 16000
+        d = (utt['end'] - utt['start']) / 16000
+        # 7 decimals represent 1/16000 s exactly
+        lines.append(f'SPEAKER S02_U06 1 {b:.7f} {d:.7f} <NA> <NA> '
+                     f'{utt["speaker"]} <NA>')
+    rttm = tmp_path / 'dev.rttm'
+    rttm.write_text('\n'.join(lines))
+
+    from pb_chime5_tpu.models.enhancer_rttm import get_enhancer as ger
+    enhancer = ger(
+        database_rttm=str(rttm), activity_rttm=str(rttm),
+        chime6_dir=str(chime6_dir), multiarray='outer_array_mics',
+        wpe=False, bss_iterations=3, context_samples=8000,
+        length_buckets=(16000 * 2, 16000 * 4))
+    enhancer.enhance_session(
+        'S02', tmp_path / 'audio_rttm', dataset_slice=2,
+        audio_dir_exist_ok=True)
+    wavs = list((tmp_path / 'audio_rttm' / 'dev').glob('*.wav'))
+    assert len(wavs) == 2
+    for wav in wavs:
+        x = load_audio(wav)
+        assert np.isfinite(x).all() and x.ndim == 1
+        assert '_U06.-' in wav.stem
+
+
+def test_rttm_cli(corpus, tmp_path):
+    info, root, _ = corpus
+    session = info['sessions']['S02']
+    from pb_chime5_tpu.scripts.simulate_chime6_transcriptions import main
+    chime6_dir = tmp_path / 'CHiME6'
+    main(root, chime6_dir)
+    lines = []
+    for utt in session['utterances'][:4]:
+        b = utt['start'] / 16000
+        d = (utt['end'] - utt['start']) / 16000
+        lines.append(f'SPEAKER S02 1 {b:.7f} {d:.7f} <NA> <NA> '
+                     f'{utt["speaker"]} <NA>')
+    rttm = tmp_path / 'dev.rttm'
+    rttm.write_text('\n'.join(lines))
+
+    from pb_chime5_tpu.scripts.kaldi_run_rttm import make_experiment
+    exp = make_experiment(default_storage=tmp_path / 'runs')
+    exp.run_commandline([
+        'test_run', 'with',
+        'session_id=S02',
+        f'storage_dir={tmp_path / "rttm_out"}',
+        f'chime6_dir={chime6_dir}',
+        f'database_rttm={rttm}',
+        'wpe=False', 'bss_iterations=2', 'context_samples=8000',
+        'length_buckets=(32000, 64000)',
+        'multiarray=first_array_mics',
+    ])
+    wavs = list((tmp_path / 'rttm_out' / 'audio' / 'dev').glob('*.wav'))
+    assert len(wavs) == 2

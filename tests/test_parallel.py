@@ -1,0 +1,135 @@
+"""Multi-device sharding on the virtual 8-device CPU mesh + schedulers."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from pb_chime5_tpu.models import GssConfig, gss_enhance
+from pb_chime5_tpu.parallel import (
+    make_mesh, batched_gss_enhance, sharded_gss_enhance,
+    serial_shard, strided_shard, length_balanced_shard,
+    FileQueueScheduler)
+from pb_chime5_tpu.utils import activity_time_to_frequency
+
+from tests.test_gss_pipeline import make_scene, activity_to_freq, FS
+
+
+def _batch(rng, B, seconds=0.7, D=3):
+    obs, acts, tgts, valids = [], [], [], []
+    config = GssConfig(wpe=False, bss_iterations=4)
+    N = int(seconds * FS)
+    for b in range(B):
+        o, a, _ = make_scene(np.random.default_rng(b), seconds=seconds, D=D)
+        obs.append(o)
+        acts.append(activity_to_freq(a, config))
+        tgts.append(b % 2)
+        valids.append(N)
+    return (np.stack(obs), np.stack(acts).astype(np.int8),
+            np.array(tgts, np.int32), np.array(valids, np.int32), config, N)
+
+
+def test_eight_devices_available():
+    assert len(jax.devices()) == 8
+
+
+def test_batched_matches_single(rng):
+    obs, acts, tgts, valids, config, N = _batch(rng, B=2)
+    out = np.asarray(batched_gss_enhance(
+        jnp.asarray(obs), jnp.asarray(acts), jnp.asarray(tgts),
+        jnp.asarray(valids), config=config, num_output_samples=N))
+    single0, _ = gss_enhance(
+        jnp.asarray(obs[0]), jnp.asarray(acts[0]), jnp.int32(tgts[0]),
+        config=config, num_valid_samples=jnp.int32(N),
+        num_output_samples=N)
+    np.testing.assert_allclose(out[0], np.asarray(single0), atol=1e-4)
+
+
+def test_data_parallel_matches_batched(rng):
+    obs, acts, tgts, valids, config, N = _batch(rng, B=8)
+    mesh = make_mesh(data=8, freq=1)
+    out_sharded = np.asarray(sharded_gss_enhance(
+        mesh, jnp.asarray(obs), jnp.asarray(acts), jnp.asarray(tgts),
+        jnp.asarray(valids), config=config, num_output_samples=N))
+    out_local = np.asarray(batched_gss_enhance(
+        jnp.asarray(obs), jnp.asarray(acts), jnp.asarray(tgts),
+        jnp.asarray(valids), config=config, num_output_samples=N))
+    np.testing.assert_allclose(out_sharded, out_local, atol=1e-4)
+
+
+def test_freq_parallel_matches_batched(rng):
+    obs, acts, tgts, valids, config, N = _batch(rng, B=2)
+    mesh = make_mesh(data=2, freq=4)
+    out_sharded = np.asarray(sharded_gss_enhance(
+        mesh, jnp.asarray(obs), jnp.asarray(acts), jnp.asarray(tgts),
+        jnp.asarray(valids), config=config, num_output_samples=N))
+    out_local = np.asarray(batched_gss_enhance(
+        jnp.asarray(obs), jnp.asarray(acts), jnp.asarray(tgts),
+        jnp.asarray(valids), config=config, num_output_samples=N))
+    # Frequency sharding changes nothing semantically: EM is per-frequency;
+    # the psum-reduced reference-channel stats equal the unsharded sums.
+    np.testing.assert_allclose(out_sharded, out_local, atol=1e-3)
+
+
+def test_freq_parallel_with_wpe_and_mvdr(rng):
+    obs, acts, tgts, valids, _, N = _batch(rng, B=2)
+    config = GssConfig(wpe=True, bss_iterations=3)
+    mesh = make_mesh(data=1, freq=8)
+    out = np.asarray(sharded_gss_enhance(
+        mesh, jnp.asarray(obs[:1]), jnp.asarray(acts[:1]),
+        jnp.asarray(tgts[:1]), jnp.asarray(valids[:1]), config=config,
+        num_output_samples=N))
+    assert out.shape == (1, N)
+    assert np.all(np.isfinite(out))
+
+
+# ------------------------------------------------------------ schedulers --
+
+def test_strided_shard():
+    items = list(range(10))
+    assert strided_shard(items, 0, 3) == [0, 3, 6, 9]
+    assert strided_shard(items, 1, 3) == [1, 4, 7]
+    all_items = sorted(sum((strided_shard(items, i, 3) for i in range(3)),
+                           []))
+    assert all_items == items
+
+
+def test_length_balanced_shard():
+    items = [(f'u{i}', ln) for i, ln in enumerate(
+        [100, 1, 50, 60, 2, 99, 98, 3, 4, 97])]
+    shards = [length_balanced_shard(items, lambda x: x[1], p, 3)
+              for p in range(3)]
+    # complete, disjoint
+    merged = sorted(sum(shards, []))
+    assert merged == sorted(items)
+    totals = [sum(ln for _, ln in s) for s in shards]
+    assert max(totals) - min(totals) <= 60, totals
+
+
+def test_file_queue_scheduler(tmp_path):
+    items = [f'item{i}' for i in range(20)]
+    w1 = FileQueueScheduler(tmp_path, worker_id='w1')
+    w2 = FileQueueScheduler(tmp_path, worker_id='w2')
+    got1 = list(w1(items))
+    got2 = list(w2(items))
+    # w1 claimed everything first; w2 gets nothing
+    assert sorted(got1) == sorted(items)
+    assert got2 == []
+    # fresh worker also gets nothing (all done)
+    w3 = FileQueueScheduler(tmp_path, worker_id='w3')
+    assert list(w3(items)) == []
+
+
+def test_file_queue_interleaved(tmp_path):
+    items = [f'x{i}' for i in range(10)]
+    w1 = FileQueueScheduler(tmp_path, worker_id='w1')
+    w2 = FileQueueScheduler(tmp_path, worker_id='w2')
+    g1, g2 = w1(items), w2(items)
+    out1, out2 = [], []
+    for _ in range(5):
+        out1.append(next(g1))
+        out2.append(next(g2))
+    out1 += list(g1)
+    out2 += list(g2)
+    assert sorted(out1 + out2) == sorted(items)
+    assert set(out1) & set(out2) == set()
