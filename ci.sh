@@ -1,0 +1,68 @@
+#!/usr/bin/env bash
+# End-to-end CI (mirrors the reference's jenkins.bash with a synthetic
+# corpus instead of the real CHiME-5 data):
+#   build extensions -> unit tests -> synthetic corpus -> DB json ->
+#   test_run -> kaldi_run shard -> fake CHiME-6 -> chime6 test_run ->
+#   RTTM run.
+set -euxo pipefail
+cd "$(dirname "$0")"
+
+export JAX_PLATFORMS=cpu
+WORK=$(mktemp -d)
+trap 'rm -rf "$WORK"' EXIT
+
+python setup.py build_ext --inplace
+
+python -m pytest tests/ -q -x
+
+python - <<EOF
+import jax; jax.config.update('jax_platforms', 'cpu')
+from pb_chime5_tpu.testing import create_synthetic_chime5
+create_synthetic_chime5('$WORK/CHiME5', session_ids=('S02',),
+                        duration_seconds=14.0, utterances_per_speaker=1,
+                        num_arrays=2, seed=0)
+EOF
+
+python -m pb_chime5_tpu.database.create_json \
+    --database-path "$WORK/CHiME5" --json-path "$WORK/cache/chime5.json"
+
+COMMON="database_path=$WORK/cache/chime5.json wpe=False bss_iterations=3 context_samples=8000 length_buckets=(32000,64000)"
+
+python -m pb_chime5_tpu.scripts.run test_run -F "$WORK/sacred" \
+    with session_id=S02 $COMMON
+
+python -m pb_chime5_tpu.scripts.kaldi_run test_run -F "$WORK/sacred" \
+    with session_id=S02 storage_dir="$WORK/kaldi" job_id=1 \
+    number_of_jobs=2 $COMMON
+
+python -m pb_chime5_tpu.scripts.simulate_chime6_transcriptions \
+    "$WORK/CHiME5" "$WORK/CHiME6"
+python -m pb_chime5_tpu.database.create_json \
+    --database-path "$WORK/CHiME6" --json-path "$WORK/cache/chime6.json" \
+    --chime6
+python -m pb_chime5_tpu.scripts.run test_run -F "$WORK/sacred" \
+    with session_id=S02 chime6=True \
+    database_path="$WORK/cache/chime6.json" wpe=False bss_iterations=3 \
+    context_samples=8000 "length_buckets=(32000,64000)"
+
+python - <<EOF
+# build an RTTM from the synthetic annotations and run the track-2 CLI
+import json, decimal
+from pathlib import Path
+trans = json.loads(Path('$WORK/CHiME5/transcriptions/dev/S02.json').read_text())
+from pb_chime5_tpu.database.create_json import to_samples
+lines = []
+for t in trans:
+    s = to_samples(t['start_time']['original'])
+    e = to_samples(t['end_time']['original'])
+    lines.append(f"SPEAKER S02_U06 1 {s/16000:.7f} {(e-s)/16000:.7f} "
+                 f"<NA> <NA> {t['speaker']} <NA>")
+Path('$WORK/dev.rttm').write_text('\n'.join(lines))
+EOF
+python -m pb_chime5_tpu.scripts.kaldi_run_rttm test_run -F "$WORK/sacred" \
+    with session_id=S02 storage_dir="$WORK/rttm" \
+    chime6_dir="$WORK/CHiME6" database_rttm="$WORK/dev.rttm" \
+    multiarray=first_array_mics wpe=False bss_iterations=2 \
+    context_samples=8000 "length_buckets=(32000,64000)"
+
+echo "CI PASSED"

@@ -1,0 +1,110 @@
+"""Alignment-refined activity (Kaldi-free: phone alignments are faked)."""
+
+import numpy as np
+import pytest
+
+import pb_chime5_tpu.activity_alignment as aa
+from pb_chime5_tpu.utils.dict_utils import Dispatcher
+
+
+def make_fn(monkeypatch, alignment_dict):
+    monkeypatch.setattr(
+        aa, 'get_phone_alignment',
+        lambda *a, **k: Dispatcher(alignment_dict))
+    return aa.get_non_sil_alignment_fn_from_kaldi('/fake/ali/dir')
+
+
+def _frames_for(samples):
+    # kaldi 10 ms frames: win 400 shift 160, no fading, cut
+    return (samples - 400 + 160) // 160
+
+
+def test_non_sil_alignment_projection(monkeypatch):
+    source_len = 4000
+    T = _frames_for(source_len)
+    labels = np.array(['sil'] * 5 + ['ae_B'] * (T - 10) + ['sil'] * 5)
+    fn = make_fn(monkeypatch, {
+        'P05_S02_KITCHEN.L-0000100-0000200': labels,
+    })
+    ex = {
+        'example_id': 'P05_S02_0000100-0000200',
+        'session_id': 'S02',
+        'speaker_id': 'P05',
+        'num_samples': {
+            'worn': {'P05': source_len},
+            'observation': {'U01': source_len + 100},
+        },
+    }
+    # worn perspective: same clock as the alignment source (P05)
+    out = fn(ex, 'P05')
+    assert out.shape == (source_len,)
+    assert not out[:100].any()       # leading silence
+    assert out[1500:2000].all()      # speech middle
+    # array perspective: center-padded to the array clock
+    out_u = fn(ex, 'U01')
+    assert out_u.shape == (source_len + 100,)
+    assert not out_u[:50].any()
+
+
+def test_non_sil_alignment_cut(monkeypatch):
+    source_len = 4000
+    T = _frames_for(source_len)
+    labels = np.array(['ae_B'] * T)
+    fn = make_fn(monkeypatch, {
+        'P05_S02_KITCHEN.L-0000100-0000200': labels})
+    ex = {
+        'example_id': 'P05_S02_0000100-0000200',
+        'session_id': 'S02',
+        'speaker_id': 'P05',
+        'num_samples': {
+            'worn': {'P05': source_len - 60},
+            'observation': {},
+        },
+    }
+    out = fn(ex, 'P05')
+    assert out.shape == (source_len - 60,)
+
+
+def test_missing_alignment_returns_one(monkeypatch):
+    fn = make_fn(monkeypatch, {})
+    ex = {
+        'example_id': 'P05_S02_0000100-0000200',
+        'session_id': 'S02',
+        'speaker_id': 'P05',
+        'num_samples': {'worn': {'P05': 1000}, 'observation': {}},
+    }
+    assert fn(ex, 'P05') == 1
+
+
+def test_cli_dumps_annotation_pickles(tmp_path):
+    """The activity cache CLI on the synthetic corpus, consumed by
+    Activity(type='path')."""
+    import pickle
+    from pb_chime5_tpu.testing import create_synthetic_chime5
+    from pb_chime5_tpu.database.create_json import create_database
+    from pb_chime5_tpu.io import dump_json
+
+    create_synthetic_chime5(tmp_path / 'c', session_ids=('S02',),
+                            duration_seconds=10.0,
+                            utterances_per_speaker=1, seed=2)
+    db = create_database(tmp_path / 'c')
+    json_path = tmp_path / 'chime5.json'
+    dump_json(db, json_path)
+    aa.main(json_path, tmp_path / 'cache', sessions=['S02'])
+    pkl = tmp_path / 'cache' / 'annotation' / 'S02.pkl'
+    assert pkl.exists()
+    with open(pkl, 'rb') as fd:
+        data = pickle.load(fd)
+    assert 'U01' in data
+    assert 'Noise' in data['U01']
+
+    # and the enhancer consumes it via activity_type='path'
+    from pb_chime5_tpu.models.enhancer import get_enhancer
+    enhancer = get_enhancer(
+        database_path=str(json_path), activity_type='path',
+        activity_path=str(tmp_path / 'cache' / 'annotation'),
+        wpe=False, bss_iterations=2, context_samples=4000,
+        length_buckets=(32000,))
+    enhancer.enhance_session(['S02'], tmp_path / 'audio', dataset_slice=1,
+                             audio_dir_exist_ok=True)
+    assert len(list((tmp_path / 'audio' / 'dev').glob('*.wav'))) == 1
