@@ -21,6 +21,7 @@ from pb_chime5_tpu.io import load_audio
 from pb_chime5_tpu.utils.array_interval import array_intervals_from_rttm
 
 __all__ = ['groupby', 'get_chime6_files', 'RTTMDatabase',
+           'Chime6RTTMDatabase',
            'recursive_load_audio', 'normalize_rttm_file_ids']
 
 
@@ -166,6 +167,28 @@ class RTTMDatabase(DictDatabase):
         elif audio_read is not False:
             raise TypeError(audio_read)
         return it
+
+
+class Chime6RTTMDatabase(RTTMDatabase):
+    """Convenience variant that derives audio paths and dataset aliases
+    from a CHiME-6 corpus dir itself (reference rttm.py:120-282): audio
+    paths = all array channels per session, aliases = dataset directory
+    layout of the audio tree."""
+
+    def __init__(self, rttm_path, chime6_dir):
+        chime6_dir = Path(chime6_dir)
+        audio_paths = get_chime6_files(chime6_dir, worn=False, flat=True)
+        alias = {}
+        for p in sorted(chime6_dir.glob('audio/*/*.wav')):
+            alias.setdefault(p.parts[-2], set()).add(
+                p.name.split('_')[0])
+        alias = {k: sorted(v) for k, v in alias.items()}
+        super().__init__(rttm_path, audio_paths, alias=alias)
+        self._chime6_dir = chime6_dir
+
+    @property
+    def worn_files(self):
+        return get_chime6_files(self._chime6_dir, worn=True)
 
 
 def recursive_load_audio(path, *, start=0, stop=None, min_num_samples=1,

@@ -13,11 +13,13 @@ from pb_chime5_tpu.io.audio import (
     load_audio as _load_audio_single, dump_audio, audio_length,
     audio_channels)
 from pb_chime5_tpu.io.json_io import (
-    Encoder, load_json, loads_json, dump_json, dumps_json)
+    Encoder, SummaryEncoder, load_json, loads_json, dump_json,
+    dumps_json)
 
 __all__ = [
     'load_audio', 'dump_audio', 'audio_length', 'audio_channels',
     'load_json', 'loads_json', 'dump_json', 'dumps_json', 'Encoder',
+    'SummaryEncoder',
     'mkdir_p', 'symlink', 'change_directory', 'recursive_transform',
 ]
 

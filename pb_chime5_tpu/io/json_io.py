@@ -8,7 +8,8 @@ from pathlib import Path
 
 import numpy as np
 
-__all__ = ['Encoder', 'load_json', 'loads_json', 'dump_json', 'dumps_json']
+__all__ = ['Encoder', 'SummaryEncoder', 'load_json', 'loads_json',
+           'dump_json', 'dumps_json']
 
 
 class Encoder(json.JSONEncoder):
@@ -23,6 +24,16 @@ class Encoder(json.JSONEncoder):
             return str(obj)
         if isinstance(obj, (datetime.datetime, datetime.date)):
             return obj.isoformat()
+        return super().default(obj)
+
+
+class SummaryEncoder(Encoder):
+    """Summarize numpy arrays as 'ndarray: shape ..., dtype ...' instead
+    of dumping their values (reference json_module.py:30-53)."""
+
+    def default(self, obj):
+        if isinstance(obj, np.ndarray):
+            return f'ndarray: shape {obj.shape}, dtype {obj.dtype}'
         return super().default(obj)
 
 

@@ -151,6 +151,8 @@ class Enhancer:
             is_master=True,
             shard_fn=length_balanced_shard,
             progress=None,
+            resume=False,
+            on_error='raise',
     ):
         """Enhance all utterances of the given session(s) into
         ``audio_dir/<dataset>/<example_id>.wav``.
@@ -159,6 +161,12 @@ class Enhancer:
         (default: deterministic length-balanced sharding; pass
         ``serial_shard`` for single-process, or a FileQueueScheduler bound
         call for dynamic pulling).
+
+        ``resume=True`` skips examples whose output WAV already exists
+        (the reference's resume granularity is exactly its output files,
+        SURVEY.md section 5).  ``on_error``: 'raise' (default) or 'skip'
+        (log the failing example id and continue — per-utterance fault
+        tolerance for long production runs).
         """
         audio_dir = Path(audio_dir)
         it = self.get_iterator(session_ids)
@@ -185,11 +193,23 @@ class Enhancer:
             return ns['original'] if isinstance(ns, dict) else ns
 
         for ex in shard_fn(examples, length_fn):
-            x_hat = self.enhance_example(ex)
             example_id = ex['example_id']
             dataset = mapping.session_to_dataset[ex['session_id']]
-            assert x_hat.ndim == 1, x_hat.shape
-            dump_audio(x_hat, audio_dir / dataset / f'{example_id}.wav')
+            save_path = audio_dir / dataset / f'{example_id}.wav'
+            if resume and save_path.exists():
+                continue
+            try:
+                x_hat = self.enhance_example(ex)
+                assert x_hat.ndim == 1, x_hat.shape
+                dump_audio(x_hat, save_path)
+            except Exception:
+                print('ERROR: Failed example:', example_id)
+                if on_error == 'raise':
+                    raise
+                assert on_error == 'skip', on_error
+                import traceback
+                traceback.print_exc()
+                continue
             if progress is not None:
                 progress(example_id)
 

@@ -42,6 +42,8 @@ __all__ = [
     'beamform_mvdr_souden_from_masks',
     'beamform_gev_from_masks',
     'beamform_lcmv_from_masks',
+    'beamform_mvdr_souden_with_lorenz_mask',
+    'beamform_mvdr_souden_with_quantile_mask',
 ]
 
 
@@ -258,3 +260,28 @@ def beamform_lcmv_from_masks(Y, X_mask, I_mask, N_mask, *, ban=False):
     if ban:
         w = blind_analytic_normalization(w, cov_i + cov_n)
     return apply_beamforming_vector(w, Yf).T
+
+
+def beamform_mvdr_souden_with_lorenz_mask(Y, X_hat=None):
+    """Unsupervised MVDR: speech mask from the Lorenz-curve energy mask
+    (reference wrapper:211-227)."""
+    from pb_chime5_tpu.ops.masks import lorenz_mask
+    if X_hat is None:
+        X_hat = Y
+    X_mask = jnp.swapaxes(
+        lorenz_mask(jnp.swapaxes(jnp.asarray(X_hat), -2, -1)), -2, -1)
+    N_mask = 1.0 - X_mask
+    return beamform_mvdr_souden_from_masks(Y, X_mask, N_mask, ban=False)
+
+
+def beamform_mvdr_souden_with_quantile_mask(Y, X_hat=None,
+                                            quantile=(0.1, -0.8)):
+    """Unsupervised MVDR: speech/noise masks from energy quantiles
+    (reference wrapper:230-251; default [0.1, -0.8] = loudest 10% vs
+    quietest 80% of frames)."""
+    from pb_chime5_tpu.ops.masks import quantile_mask
+    if X_hat is None:
+        X_hat = Y
+    X_mask, N_mask = quantile_mask(
+        jnp.asarray(X_hat), list(quantile), sensor_axis=None, axis=-2)
+    return beamform_mvdr_souden_from_masks(Y, X_mask, N_mask, ban=False)

@@ -124,20 +124,106 @@ def _wpe_iteration(Y, Y_tilde, inv_power, regularization):
     return Y - tail
 
 
+def _solve_G(R, P, regularization, rdtype):
+    """R G = P via equilibrated loaded Cholesky (see _wpe_iteration)."""
+    if regularization:
+        dim = R.shape[-1]
+        diag = jnp.diagonal(R, axis1=-2, axis2=-1).real
+        d = jnp.sqrt(jnp.maximum(diag, jnp.finfo(rdtype).tiny))
+        dinv = (1.0 / d).astype(R.dtype)
+        Rs = R * dinv[..., :, None] * dinv[..., None, :]
+        Rs = Rs + jnp.asarray(regularization, R.dtype) * jnp.eye(
+            R.shape[-1], dtype=R.dtype)
+        L = jnp.linalg.cholesky(Rs)
+        G = jax.scipy.linalg.cho_solve((L, True), P * dinv[..., :, None])
+        return G * dinv[..., :, None]
+    return stable_solve(R, P)
+
+
+def _chunked_wpe_iteration(Y, inv_power, taps, delay, regularization,
+                           chunk_size, frame_mask):
+    """One WPE update accumulating R/P over T-chunks with lax.scan.
+
+    Never materializes the full (F, taps*D, T) stacked signal — peak
+    scratch is one (F, taps*D, chunk) block.  This is what makes
+    batched / very-long-utterance WPE fit in HBM.
+    """
+    F, D, T = Y.shape
+    pad = (-T) % chunk_size
+    hist = delay + taps - 1
+    Yp = jnp.pad(Y, ((0, 0), (0, 0), (hist, pad)))
+    wp = jnp.pad(inv_power, ((0, 0), (0, pad)))
+    if frame_mask is not None:
+        fmp = jnp.pad(frame_mask, (0, pad))
+    num_chunks = (T + pad) // chunk_size
+
+    def chunk_tilde(c):
+        """(F, taps*D, chunk) stacked delayed block for chunk c."""
+        start = c * chunk_size          # position in unpadded time
+        parts = []
+        for tau in range(taps):
+            shift = delay + tau
+            # Yp index (start + hist - shift) .. + chunk
+            parts.append(jax.lax.dynamic_slice_in_dim(
+                Yp, start + hist - shift, chunk_size, axis=2))
+        yt = jnp.concatenate(parts, axis=1)
+        if frame_mask is not None:
+            m = jax.lax.dynamic_slice_in_dim(fmp, start, chunk_size, 0)
+            yt = yt * m[None, None, :].astype(yt.dtype)
+        return yt
+
+    def scan_body(carry, c):
+        R, P = carry
+        yt = chunk_tilde(c)
+        yc = jax.lax.dynamic_slice_in_dim(Yp, c * chunk_size + hist,
+                                          chunk_size, axis=2)
+        w = jax.lax.dynamic_slice_in_dim(wp, c * chunk_size, chunk_size, 1)
+        weighted = yt * w[:, None, :].astype(yt.dtype)
+        R = R + jnp.einsum('fit,fjt->fij', weighted, yt.conj(),
+                           precision=_HIGHEST)
+        P = P + jnp.einsum('fit,fjt->fij', weighted, yc.conj(),
+                           precision=_HIGHEST)
+        return (R, P), None
+
+    dim = taps * D
+    init = (jnp.zeros((F, dim, dim), Y.dtype),
+            jnp.zeros((F, dim, D), Y.dtype))
+    (R, P), _ = jax.lax.scan(scan_body, init, jnp.arange(num_chunks))
+    R = hermitize(R)
+    G = _solve_G(R, P, regularization, inv_power.dtype)
+
+    def tail_body(X, c):
+        yt = chunk_tilde(c)
+        tail = jnp.einsum('fid,fit->fdt', G.conj(), yt,
+                          precision=_HIGHEST)
+        return X, tail
+
+    _, tails = jax.lax.scan(tail_body, None, jnp.arange(num_chunks))
+    # tails (num_chunks, F, D, chunk) -> (F, D, T)
+    tail = jnp.moveaxis(tails, 0, 2).reshape(F, D, num_chunks * chunk_size)
+    return Y - tail[..., :T]
+
+
 @functools.partial(
     jax.jit,
     static_argnames=('taps', 'delay', 'iterations', 'psd_context',
-                     'regularization', 'has_frame_mask'))
+                     'regularization', 'chunk_size', 'has_frame_mask'))
 def _wpe_impl(Y, taps, delay, iterations, psd_context, regularization,
-              frame_mask, has_frame_mask):
+              chunk_size, frame_mask, has_frame_mask):
     fm = frame_mask if has_frame_mask else None
-    Y_tilde = build_y_tilde(Y, taps, delay)
-    if fm is not None:
-        Y_tilde = Y_tilde * fm[None, None, :].astype(Y_tilde.dtype)
+    if chunk_size is None:
+        Y_tilde = build_y_tilde(Y, taps, delay)
+        if fm is not None:
+            Y_tilde = Y_tilde * fm[None, None, :].astype(Y_tilde.dtype)
 
-    def body(_, X):
-        inv_power = get_power_inverse(X, psd_context, fm)
-        return _wpe_iteration(Y, Y_tilde, inv_power, regularization)
+        def body(_, X):
+            inv_power = get_power_inverse(X, psd_context, fm)
+            return _wpe_iteration(Y, Y_tilde, inv_power, regularization)
+    else:
+        def body(_, X):
+            inv_power = get_power_inverse(X, psd_context, fm)
+            return _chunked_wpe_iteration(
+                Y, inv_power, taps, delay, regularization, chunk_size, fm)
 
     X = jax.lax.fori_loop(0, iterations, body, Y)
     if fm is not None:
@@ -147,7 +233,7 @@ def _wpe_impl(Y, taps, delay, iterations, psd_context, regularization,
 
 def wpe(Y, *, taps: int = 10, delay: int = 2, iterations: int = 3,
         psd_context: int = 0, regularization: float = 1e-4,
-        frame_mask=None):
+        chunk_size: int = None, frame_mask=None):
     """Batched offline WPE.
 
     Args:
@@ -157,12 +243,18 @@ def wpe(Y, *, taps: int = 10, delay: int = 2, iterations: int = 3,
          (core.py:580-583).
       frame_mask: optional (T,) validity mask for padded batches.
 
+      chunk_size: when set, accumulate the correlation statistics over
+         T-chunks of this many frames with ``lax.scan`` instead of
+         materializing the (F, taps*D, T) stacked signal (~2.6 GB for the
+         24-channel production config) — required for batched or
+         very-long-utterance processing.
+
     Returns:
       Dereverberated (F, D, T).
     """
     Y = jnp.asarray(Y)
     return _wpe_impl(Y, taps, delay, iterations, psd_context,
-                     regularization,
+                     regularization, chunk_size,
                      frame_mask if frame_mask is None
                      else jnp.asarray(frame_mask, dtype=bool),
                      frame_mask is not None)

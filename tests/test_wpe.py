@@ -67,6 +67,28 @@ def test_wpe_reduces_tail_energy(rng):
     assert np.all(np.isfinite(X))
 
 
+def test_chunked_matches_unchunked(rng):
+    """chunk_size statistics accumulation is numerically identical to the
+    materialized path (same sums, different association only)."""
+    Y = _random_reverberant(rng, F=6, D=3, T=100)
+    base = np.asarray(wpe(jnp.asarray(Y), taps=4, delay=2, iterations=3))
+    for chunk in (32, 50, 100, 128):
+        chunked = np.asarray(wpe(jnp.asarray(Y), taps=4, delay=2,
+                                 iterations=3, chunk_size=chunk))
+        np.testing.assert_allclose(chunked, base, atol=1e-8)
+
+
+def test_chunked_with_frame_mask(rng):
+    Y = _random_reverberant(rng, F=4, D=2, T=60)
+    pad = np.concatenate([Y, np.zeros((4, 2, 20), Y.dtype)], axis=-1)
+    mask = np.r_[np.ones(60, bool), np.zeros(20, bool)]
+    a = np.asarray(wpe(jnp.asarray(pad), taps=3, delay=1, iterations=2,
+                       frame_mask=mask))
+    b = np.asarray(wpe(jnp.asarray(pad), taps=3, delay=1, iterations=2,
+                       frame_mask=mask, chunk_size=32))
+    np.testing.assert_allclose(b, a, atol=1e-8)
+
+
 def test_wpe_frame_mask_ignores_padding(rng):
     Y = _random_reverberant(rng, F=4, D=2, T=60)
     pad = np.concatenate([Y, np.zeros((4, 2, 20), Y.dtype)], axis=-1)
