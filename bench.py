@@ -23,6 +23,16 @@ import numpy as np
 def main():
     import jax
     import jax.numpy as jnp
+    # persistent compilation cache: the fused pipeline takes minutes to
+    # compile on the remote TPU compile service; cache across runs
+    try:
+        from pathlib import Path
+        cache_dir = Path(__file__).parent / '.jax_cache'
+        cache_dir.mkdir(exist_ok=True)
+        jax.config.update('jax_compilation_cache_dir', str(cache_dir))
+        jax.config.update('jax_persistent_cache_min_compile_time_secs', 10)
+    except Exception:
+        pass
     from pb_chime5_tpu.models.gss import GssConfig, gss_enhance
     from pb_chime5_tpu.utils import activity_time_to_frequency
 

@@ -49,6 +49,10 @@ class GssConfig:
     wpe_delay: int = 2
     wpe_iterations: int = 3
     wpe_psd_context: int = 0
+    # chunked WPE statistics (see ops/wpe.py): None materializes the
+    # (F, taps*D, T) stacked signal; an int bounds HBM for batched /
+    # very long inputs
+    wpe_chunk_size: int = None
 
     bss_iterations: int = 20
     bss_iterations_post: int = 1
@@ -122,6 +126,7 @@ def enhance_spectrogram(
             delay=config.wpe_delay,
             iterations=config.wpe_iterations,
             psd_context=config.wpe_psd_context,
+            chunk_size=config.wpe_chunk_size,
             frame_mask=frame_mask,
         )
 

@@ -40,7 +40,7 @@ import functools
 import jax
 import jax.numpy as jnp
 
-from pb_chime5_tpu.ops.linalg import hermitize
+from pb_chime5_tpu.ops.linalg import hermitize, schur_inverse_and_logdet
 
 # float32 MXU precision for scatter matrices and quadratic forms (the
 # TPU's default bf16 matmul inputs break the EM's conditioning).
@@ -56,9 +56,9 @@ class CacgmmConfig:
     """Static EM configuration (hashable -> usable as a jit static arg)."""
     iterations: int = 20
     iterations_post: int = 1
-    inverse: str = 'cholesky'        # 'cholesky' | 'eigh'
+    inverse: str = 'cholesky'        # 'cholesky' | 'schur' | 'eigh'
     eigenvalue_floor: float = 1e-10  # used by the 'eigh' inverse
-    diagonal_floor: float = 1e-6     # used by the 'cholesky' inverse
+    diagonal_floor: float = 1e-6     # used by 'cholesky' / 'schur'
 
 
 def make_initialization(activity, dtype=jnp.float32):
@@ -134,6 +134,18 @@ def _invert(cov, config):
             ev.conj().swapaxes(-2, -1), precision=_HIGHEST)
         logdet = jnp.sum(jnp.log(ew), axis=-1)
         return precision, logdet
+    elif config.inverse == 'schur':
+        # Recursive Schur-complement inverse — batched matmuls only.
+        # Measured on v5e: NOT faster than the cholesky path (the deep
+        # chain of small matmuls costs as much as the custom call), and
+        # in float32 the explicit-inverse recursion loses positive
+        # definiteness on the EM's extremely ill-conditioned converged
+        # covariances.  Kept as an option for float64 / research use.
+        tr = jnp.trace(cov, axis1=-2, axis2=-1).real
+        jitter = jnp.maximum(config.diagonal_floor * tr / D, tiny)
+        cov = cov + jitter[..., None, None].astype(cov.dtype) \
+            * jnp.eye(D, dtype=cov.dtype)
+        return schur_inverse_and_logdet(cov)
     elif config.inverse == 'cholesky':
         # Fast path: trace-scaled diagonal jitter, Cholesky inverse.
         tr = jnp.trace(cov, axis1=-2, axis2=-1).real
