@@ -25,3 +25,8 @@ from pb_chime5_tpu.parallel.mesh import (
     batched_gss_enhance,
     sharded_gss_enhance,
 )
+from pb_chime5_tpu.parallel.distributed import (
+    maybe_initialize,
+    is_master,
+    barrier,
+)

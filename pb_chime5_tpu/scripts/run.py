@@ -47,6 +47,8 @@ def make_experiment(get_enhancer_fn=get_enhancer, default_storage='runs'):
     })
 
     def run(exp, test_run=False):
+        from pb_chime5_tpu.parallel import maybe_initialize, is_master
+        maybe_initialize()
         cfg = dict(exp.config)
         chime6 = cfg.pop('chime6', False)
         session_id = cfg.pop('session_id')
@@ -68,6 +70,7 @@ def make_experiment(get_enhancer_fn=get_enhancer, default_storage='runs'):
             exp.run_dir / 'audio',
             dataset_slice=test_run,
             audio_dir_exist_ok=True,
+            is_master=is_master(),
         )
         print('Finished experiment dir:', exp.run_dir)
 
