@@ -130,6 +130,20 @@ class Enhancer:
     def stft_fading(self):
         return self.gss_config.stft_fading
 
+    def stft(self, x):
+        """Host-side analysis transform (API parity with reference
+        core.py:305-312): numpy in, numpy out."""
+        from pb_chime5_tpu.ops.stft import stft
+        return np.asarray(stft(
+            np.asarray(x), self.stft_size, self.stft_shift,
+            fading=self.stft_fading))
+
+    def istft(self, X):
+        from pb_chime5_tpu.ops.stft import istft
+        return np.asarray(istft(
+            np.asarray(X), self.stft_size, self.stft_shift,
+            fading=self.stft_fading))
+
     def get_iterator(self, session_id):
         return self.db.get_iterator_for_session(
             session_id,

@@ -72,7 +72,7 @@ class GssConfig:
 
 
 def _beamform(Obs_fdt, target_mask_kt, distortion_mask_kt, config,
-              snr_reduce=None):
+              snr_reduce=None, noise_mask_kt=None):
     """Obs (F, D, T), masks (T, F)-style handled by caller as (F, T).
 
     ``snr_reduce`` optionally reduces the reference-channel SNR statistics
@@ -94,6 +94,16 @@ def _beamform(Obs_fdt, target_mask_kt, distortion_mask_kt, config,
         w = bf.gev_vector(cov_x, cov_n)
         if kind == 'gev_ban':
             w = bf.blind_analytic_normalization(w, cov_n)
+    elif kind in ('lcmv', 'lcmv_ban'):
+        # target constraint + interference null; the garbage class (last
+        # mask) provides the noise PSD, the remaining speakers the
+        # interference PSD
+        assert noise_mask_kt is not None, kind
+        cov_i = bf.psd_matrix(Obs_fdt, distortion_mask_kt - noise_mask_kt)
+        cov_nn = bf.psd_matrix(Obs_fdt, noise_mask_kt)
+        w = bf.lcmv_vector(cov_x, cov_i, cov_nn)
+        if kind == 'lcmv_ban':
+            w = bf.blind_analytic_normalization(w, cov_i + cov_nn)
     else:
         raise NotImplementedError(kind)
     return bf.apply_beamforming_vector(w, Obs_fdt)
@@ -149,8 +159,10 @@ def enhance_spectrogram(
     )[:, 0, :]                                             # (F, T)
     distortion_mask = jnp.sum(masks, axis=1) - target_mask
 
+    noise_mask = masks[:, -1, :] if config.bf.startswith('lcmv') else None
     X_hat = _beamform(Obs_fdt, target_mask, distortion_mask, config,
-                      snr_reduce=snr_reduce)               # (F, T)
+                      snr_reduce=snr_reduce,
+                      noise_mask_kt=noise_mask)            # (F, T)
 
     if config.postfilter == 'mask_mul':
         X_hat = X_hat * target_mask.astype(X_hat.dtype)

@@ -17,6 +17,7 @@ behaviour the front-end scripts rely on:
 """
 
 import ast
+import os
 import datetime
 import inspect
 import json
@@ -140,7 +141,21 @@ class Experiment:
                 self.config[key] = _parse_value(value)
         return command, storage_dir
 
+    @staticmethod
+    def _honor_jax_platforms_env():
+        """This image's TPU plugin (sitecustomize) overrides the
+        JAX_PLATFORMS env var; re-apply the user's choice through the
+        config API so `JAX_PLATFORMS=cpu ./ci.sh` really runs on CPU."""
+        platforms = os.environ.get('JAX_PLATFORMS')
+        if platforms and 'axon' not in platforms:
+            try:
+                import jax
+                jax.config.update('jax_platforms', platforms)
+            except Exception:
+                pass
+
     def run_commandline(self, argv=None, create_run_dir=True):
+        self._honor_jax_platforms_env()
         command, storage_dir = self.parse_argv(argv)
         if command not in self._commands:
             raise SystemExit(
@@ -149,6 +164,10 @@ class Experiment:
         if create_run_dir:
             self.run_dir = self._create_run_dir(storage_dir)
             print(f'Experiment dir: {self.run_dir}')
+        # print_config (sacred prints the resolved config on the master)
+        print('Configuration:')
+        for key in sorted(self.config):
+            print(f'  {key} = {self.config[key]!r}')
         try:
             result = self._commands[command](self)
         except BaseException:

@@ -159,6 +159,18 @@ def test_padded_bucket_f32_sane(rng):
     assert corr > 0.99, corr
 
 
+def test_lcmv_beamformer(rng):
+    """LCMV suppresses the interferer (nulls its subspace)."""
+    config = GssConfig(wpe=False, bss_iterations=10, bf='lcmv')
+    obs, activity, (b0, b1) = make_scene(rng)
+    act_f = activity_to_freq(activity, config)
+    x_hat, _ = gss_enhance(
+        jnp.asarray(obs), jnp.asarray(act_f, dtype=jnp.int8),
+        jnp.int32(0), config=config)
+    assert sir_improvement(obs, np.asarray(x_hat), b0, b1,
+                           obs.shape[1]) > 10
+
+
 def test_ch2_and_sum_beamformers(rng):
     obs, activity, _ = make_scene(rng, seconds=0.5)
     for bf_kind in ['ch2', 'sum']:
