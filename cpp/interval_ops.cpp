@@ -89,18 +89,16 @@ PyObject* non_intersection(PyObject*, PyObject* args) {
   std::vector<Interval> ivs;
   if (!parse_pair(interval_obj, &iv) || !parse_intervals(intervals_obj, &ivs))
     return nullptr;
+  // Half-open set subtraction: remove [start, end) from every interval.
   const int64_t start = iv.first, end = iv.second;
   std::vector<Interval> out;
-  for (auto [s, e] : ivs) {
-    if (start < s && s < end) {
-      s = end;
-    } else if (start < e && e < end) {
-      e = start;
-    } else if (s < start && end < e) {
-      out.emplace_back(s, start);
-      s = end;
+  for (const auto& [s, e] : ivs) {
+    if (e <= start || s >= end) {  // disjoint
+      out.emplace_back(s, e);
+      continue;
     }
-    if (s < e) out.emplace_back(s, e);
+    if (s < start) out.emplace_back(s, start);  // left remainder
+    if (e > end) out.emplace_back(end, e);      // right remainder
   }
   return build_intervals(out);
 }

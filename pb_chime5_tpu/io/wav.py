@@ -136,7 +136,14 @@ def write_wav(path, data, sample_rate, *, start=None):
     else:
         raise ValueError(f'unsupported dtype {data.dtype}')
 
-    if start is not None and Path(path).exists():
+    if start is not None and not Path(path).exists():
+        # first write of an incremental file at a nonzero offset: create
+        # the header + zero gap, then fall through to the r+ path (the
+        # reference's soundfile 'w' mode seeks to start the same way,
+        # audiowrite.py:164-206)
+        write_wav(path, np.zeros((0, channels), data.dtype), sample_rate)
+
+    if start is not None:
         info = wav_info(path)
         assert info.dtype == data.dtype, (info.dtype, data.dtype)
         assert info.channels == channels, (info.channels, channels)

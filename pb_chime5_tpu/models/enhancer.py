@@ -173,8 +173,8 @@ class Enhancer:
 
         ``shard_fn(examples, length_fn)`` selects this process's subset
         (default: deterministic length-balanced sharding; pass
-        ``serial_shard`` for single-process, or a FileQueueScheduler bound
-        call for dynamic pulling).
+        ``serial_shard`` for single-process, or ``FileQueueScheduler(...)
+        .shard`` for dynamic pulling).
 
         ``resume=True`` skips examples whose output WAV already exists
         (the reference's resume granularity is exactly its output files,
@@ -266,9 +266,11 @@ class Enhancer:
         if self.multiarray is True:
             return load_arrays(slice(None))
         if self.multiarray == 'outer_array_mics':
-            return load_arrays((0, -1))
+            # list (not tuple!) index: numpy treats a tuple as a
+            # multi-dimensional index
+            return load_arrays([0, -1])
         if self.multiarray == 'first_array_mics':
-            return load_arrays((0,))
+            return load_arrays([0])
         if self.multiarray is False:
             return load_audio(
                 ex['audio_path']['observation'][reference_array],
@@ -379,6 +381,11 @@ def get_enhancer(
     assert wpe is True or wpe is False, wpe
     assert activity_path is None or activity_type == 'path', \
         (activity_path, activity_type)
+    if str(bf).startswith('lcmv'):
+        # the LCMV pipeline treats the LAST mask class as the noise PSD
+        assert activity_garbage_class not in (False, None), (
+            'bf=lcmv requires a garbage (noise) class: set '
+            'activity_garbage_class=True')
 
     return Enhancer(
         activity=Activity(

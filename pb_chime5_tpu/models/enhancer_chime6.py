@@ -130,9 +130,11 @@ class Enhancer(_Chime5Enhancer):
         if self.multiarray is True:
             return load_arrays(slice(None))
         if self.multiarray == 'outer_array_mics':
-            return load_arrays((0, -1))
+            # list (not tuple!) index: numpy treats a tuple as a
+            # multi-dimensional index
+            return load_arrays([0, -1])
         if self.multiarray == 'first_array_mics':
-            return load_arrays((0,))
+            return load_arrays([0])
         if self.multiarray is False:
             reference_array = self._resolve_reference_array(ex)
             return load_audio(
@@ -206,6 +208,10 @@ def get_enhancer(
     assert wpe is True or wpe is False, wpe
     assert activity_path is None or activity_type == 'path', \
         (activity_path, activity_type)
+    if str(bf).startswith('lcmv'):
+        assert activity_garbage_class not in (False, None), (
+            'bf=lcmv requires a garbage (noise) class: set '
+            'activity_garbage_class=True')
     return Enhancer(
         activity=Activity(
             type=activity_type,

@@ -265,6 +265,10 @@ def get_enhancer(
 ):
     """Factory mirroring pb_chime5/core_chime6_rttm.py:360-422."""
     assert wpe is True or wpe is False, wpe
+    if str(bf).startswith('lcmv'):
+        assert activity_garbage_class not in (False, None), (
+            'bf=lcmv requires a garbage (noise) class: set '
+            'activity_garbage_class=True')
     db = get_database(chime6_dir, database_rttm, multiarray)
     return Enhancer(
         db=db,

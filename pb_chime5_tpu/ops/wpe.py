@@ -100,25 +100,7 @@ def _wpe_iteration(Y, Y_tilde, inv_power, regularization):
                                Y_tilde.conj(), precision=_HIGHEST))
     P = jnp.einsum('fit,fjt->fij', weighted, Y.conj(),
                    precision=_HIGHEST)
-    if regularization:
-        # Jacobi-equilibrated, diagonally-loaded Cholesky solve:
-        # scale R to unit diagonal (D^-1/2 R D^-1/2) so the loading is
-        # well-proportioned to lambda_max and float32 roundoff cannot make
-        # the factorization fail, then unscale the solution.
-        dim = R.shape[-1]
-        rdtype = inv_power.dtype
-        diag = jnp.diagonal(R, axis1=-2, axis2=-1).real
-        d = jnp.sqrt(jnp.maximum(diag, jnp.finfo(rdtype).tiny))
-        dinv = (1.0 / d).astype(R.dtype)                    # (F, taps*D)
-        Rs = R * dinv[..., :, None] * dinv[..., None, :]
-        Rs = Rs + jnp.asarray(regularization, R.dtype) * jnp.eye(
-            dim, dtype=R.dtype)
-        L = jnp.linalg.cholesky(Rs)
-        Ps = P * dinv[..., :, None]
-        G = jax.scipy.linalg.cho_solve((L, True), Ps)       # (F, taps*D, D)
-        G = G * dinv[..., :, None]
-    else:
-        G = stable_solve(R, P)
+    G = _solve_G(R, P, regularization, inv_power.dtype)
     tail = jnp.einsum('fid,fit->fdt', G.conj(), Y_tilde,
                       precision=_HIGHEST)
     return Y - tail

@@ -125,11 +125,24 @@ class FileQueueScheduler:
     def mark_done(self, key):
         self._done_path(key).write_text(self.worker_id)
 
-    def __call__(self, items, key_fn=str):
+    @staticmethod
+    def default_key(item):
+        if isinstance(item, dict) and 'example_id' in item:
+            return item['example_id']
+        return str(item)
+
+    def __call__(self, items, key_fn=None):
         """Yield the items this worker wins; marks each done after the
         consumer advances the generator."""
+        key_fn = key_fn or self.default_key
         for item in items:
             key = key_fn(item)
             if self.try_claim(key):
                 yield item
                 self.mark_done(key)
+
+    def shard(self, examples, length_fn=None):
+        """Adapter matching the ``shard_fn(examples, length_fn)``
+        signature of Enhancer.enhance_session (claims are keyed by
+        example id, NOT by length)."""
+        return self(examples)

@@ -45,18 +45,23 @@ def _py_intersection(interval, intervals):
 
 
 def _py_non_intersection(interval, intervals):
+    """Set subtraction: remove [start, end) from every interval.
+
+    Note: the reference's cy_non_intersection (intervall_array_util.pyx:
+    9-32) uses strict inequalities and silently keeps intervals whose
+    boundary coincides with the cleared range (e.g. clearing [0, 50) from
+    [0, 100) was a no-op); this is proper half-open subtraction.
+    """
     start, end = interval
     out = []
     for i_start, i_end in intervals:
-        if start < i_start < end:
-            i_start = end
-        elif start < i_end < end:
-            i_end = start
-        elif i_start < start and end < i_end:
-            out.append((i_start, start))
-            i_start = end
-        if i_start < i_end:
+        if i_end <= start or i_start >= end:      # disjoint
             out.append((i_start, i_end))
+            continue
+        if i_start < start:                        # left remainder
+            out.append((i_start, start))
+        if i_end > end:                            # right remainder
+            out.append((end, i_end))
     return tuple(out)
 
 

@@ -107,6 +107,25 @@ def test_zero_assignment():
     assert repr(ai) == 'ArrayInterval("0:10, 20:30", shape=(30,))'
 
 
+def test_boundary_clear_regression():
+    """Clearing a range that shares a boundary with an existing interval
+    must actually clear it (the reference's strict-inequality
+    non-intersection silently kept it)."""
+    ai = ArrayInterval(100)
+    ai[0:100] = 1
+    ai[0:50] = 0
+    assert repr(ai) == 'ArrayInterval("50:100", shape=(100,))'
+    ai2 = ArrayInterval(100)
+    ai2[0:100] = 1
+    ai2[50:100] = 0
+    assert repr(ai2) == 'ArrayInterval("0:50", shape=(100,))'
+    # array assignment at an exact boundary
+    ai3 = ArrayInterval(50)
+    ai3[0:50] = 1
+    ai3[0:3] = np.array([False, True, False])
+    np.testing.assert_array_equal(ai3[0:4], [False, True, False, True])
+
+
 def test_sum():
     ai = ArrayInterval(100)
     ai[10:20] = 1

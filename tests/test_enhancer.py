@@ -67,6 +67,32 @@ def test_enhancer_multiarray_wpe(corpus, tmp_path):
     assert len(wavs) == 1
 
 
+def test_enhancer_multiarray_string_modes(corpus, tmp_path):
+    """outer_array_mics / first_array_mics channel selection (regression:
+    tuple indexing collapsed the channel axis)."""
+    info, root, json_path = corpus
+    for mode, channels_per_array in [('outer_array_mics', 2),
+                                     ('first_array_mics', 1)]:
+        enhancer = get_enhancer(
+            database_path=str(json_path), wpe=False, multiarray=mode,
+            **SMALL)
+        it = enhancer.get_iterator('S02')
+        ex = it[0]
+        obs = enhancer._load_observation(ex, ex['reference_array'])
+        n_arrays = len(ex['audio_path']['observation'])
+        assert obs.shape[0] == n_arrays * channels_per_array, \
+            (mode, obs.shape)
+        x = enhancer.enhance_example(ex)
+        assert np.isfinite(x).all()
+
+
+def test_lcmv_requires_garbage_class(corpus):
+    _, _, json_path = corpus
+    with pytest.raises(AssertionError, match='garbage'):
+        get_enhancer(database_path=str(json_path), bf='lcmv',
+                     activity_garbage_class=False)
+
+
 def test_enhancer_suppresses_other_speakers(corpus, tmp_path):
     """The enhanced utterance should contain the target speaker's signal:
     correlation with the target source must dominate all other sources."""

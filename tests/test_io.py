@@ -101,6 +101,18 @@ def test_incremental_write(tmp_path):
     np.testing.assert_allclose(got[20:], [0.5, 0.75, 0.75, 0.75])
 
 
+def test_incremental_write_fresh_file(tmp_path):
+    """start offset on a NOT-yet-existing file creates the zero gap
+    instead of silently writing at 0."""
+    f = tmp_path / 'fresh.wav'
+    dump_audio(np.array([8, 9]) / 32, f, normalize=False, dtype=None,
+               start=5)
+    got = load_audio(f)
+    assert got.shape == (7,)
+    np.testing.assert_allclose(got[:5], 0.0)
+    np.testing.assert_allclose(got[5:], [0.25, 0.28125])
+
+
 def test_float32_wav(tmp_path):
     x = np.linspace(-1, 1, 100).astype(np.float32)
     f = tmp_path / 'f32.wav'

@@ -120,6 +120,16 @@ def test_file_queue_scheduler(tmp_path):
     assert list(w3(items)) == []
 
 
+def test_file_queue_shard_adapter(tmp_path):
+    """FileQueueScheduler.shard matches the shard_fn(examples, length_fn)
+    contract and keys claims by example id, not length."""
+    w = FileQueueScheduler(tmp_path, worker_id='w')
+    examples = [{'example_id': f'utt{i}', 'num_samples': 100}
+                for i in range(4)]  # identical lengths!
+    got = list(w.shard(examples, lambda ex: ex['num_samples']))
+    assert [e['example_id'] for e in got] == [f'utt{i}' for i in range(4)]
+
+
 def test_file_queue_interleaved(tmp_path):
     items = [f'x{i}' for i in range(10)]
     w1 = FileQueueScheduler(tmp_path, worker_id='w1')
