@@ -206,26 +206,53 @@ class Enhancer:
             ns = ex['num_samples']
             return ns['original'] if isinstance(ns, dict) else ns
 
-        for ex in shard_fn(examples, length_fn):
-            example_id = ex['example_id']
-            dataset = mapping.session_to_dataset[ex['session_id']]
-            save_path = audio_dir / dataset / f'{example_id}.wav'
-            if resume and save_path.exists():
-                continue
-            try:
-                x_hat = self.enhance_example(ex)
-                assert x_hat.ndim == 1, x_hat.shape
-                dump_audio(x_hat, save_path)
-            except Exception:
-                print('ERROR: Failed example:', example_id)
-                if on_error == 'raise':
-                    raise
-                assert on_error == 'skip', on_error
-                import traceback
-                traceback.print_exc()
-                continue
-            if progress is not None:
-                progress(example_id)
+        # Prefetch the next examples' audio (disk-bound segment reads of
+        # long session WAVs) on a worker thread while the chip enhances
+        # the current one — the reference is synchronous here (it is
+        # CPU-bound anyway); on TPU the device would otherwise idle
+        # during I/O.  The window is bounded so at most ``prefetch``
+        # loaded observations are resident.
+        import collections
+        import concurrent.futures
+
+        todo = [ex for ex in shard_fn(examples, length_fn)
+                if not (resume and (
+                    audio_dir / mapping.session_to_dataset[ex['session_id']]
+                    / f"{ex['example_id']}.wav").exists())]
+
+        prepare = self._prepare_example
+
+        prefetch = 2
+        with concurrent.futures.ThreadPoolExecutor(1) as pool:
+            window = collections.deque()
+            todo_iter = iter(todo)
+            for ex in todo_iter:
+                window.append((ex, pool.submit(prepare, ex)))
+                if len(window) >= prefetch:
+                    break
+            while window:
+                ex, future = window.popleft()
+                nxt = next(todo_iter, None)
+                if nxt is not None:
+                    window.append((nxt, pool.submit(prepare, nxt)))
+                example_id = ex['example_id']
+                try:
+                    reference_array, obs = future.result()
+                    x_hat = self._enhance_loaded(ex, reference_array, obs)
+                    assert x_hat.ndim == 1, x_hat.shape
+                    dataset = mapping.session_to_dataset[ex['session_id']]
+                    dump_audio(x_hat,
+                               audio_dir / dataset / f'{example_id}.wav')
+                except Exception:
+                    print('ERROR: Failed example:', example_id)
+                    if on_error == 'raise':
+                        raise
+                    assert on_error == 'skip', on_error
+                    import traceback
+                    traceback.print_exc()
+                    continue
+                if progress is not None:
+                    progress(example_id)
 
     # ------------------------------------------------------------------
 
@@ -279,9 +306,20 @@ class Enhancer:
             )
         raise ValueError(self.multiarray)
 
-    def enhance_example(self, ex):
-        session_id = ex['session_id']
+    def _prepare_example(self, ex):
+        """Host I/O part (runs on the prefetch thread): resolve the
+        reference array and read the observation audio."""
         reference_array = self._resolve_reference_array(ex)
+        return reference_array, self._load_observation(ex, reference_array)
+
+    def enhance_example(self, ex):
+        reference_array, obs = self._prepare_example(ex)
+        return self._enhance_loaded(ex, reference_array, obs)
+
+    def _enhance_loaded(self, ex, reference_array, obs):
+        """Everything after the audio read (so enhance_session can
+        prefetch I/O in a worker thread)."""
+        session_id = ex['session_id']
         speaker_id = ex['speaker_id']
 
         array_start = ex['start']['observation'][reference_array]
@@ -292,8 +330,6 @@ class Enhancer:
             for k, arr in self.activity[session_id][
                 reference_array].items()
         }
-
-        obs = self._load_observation(ex, reference_array)
 
         x_hat = self.enhance_observation(
             obs,

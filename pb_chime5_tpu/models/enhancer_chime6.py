@@ -87,7 +87,10 @@ class Enhancer(_Chime5Enhancer):
             equal_start_context=False,
         )
 
-    def enhance_example(self, ex):
+    def _prepare_example(self, ex):
+        return None, self._load_observation_flat(ex)
+
+    def _enhance_loaded(self, ex, reference_array, obs):
         session_id = ex['session_id']
         speaker_id = ex['speaker_id']
         array_start = ex['start']
@@ -97,8 +100,6 @@ class Enhancer(_Chime5Enhancer):
             k: arr[array_start:min(array_end, len(arr))]
             for k, arr in self.activity[session_id].items()
         }
-
-        obs = self._load_observation_flat(ex)
 
         x_hat = self.enhance_observation(
             obs,

@@ -110,7 +110,10 @@ def test_on_error_skip(tmp_path, monkeypatch):
             raise RuntimeError('synthetic failure')
         return np.zeros(100, np.float32)
 
-    monkeypatch.setattr(enhancer, 'enhance_example', boom)
+    monkeypatch.setattr(enhancer, '_prepare_example',
+                        lambda ex: (None, None))
+    monkeypatch.setattr(enhancer, '_enhance_loaded',
+                        lambda ex, ref, obs: boom(ex))
     out = tmp_path / 'audio'
     enhancer.enhance_session(['S02'], out, dataset_slice=2,
                              audio_dir_exist_ok=True, on_error='skip')
