@@ -105,6 +105,12 @@ class Experiment:
     def finalize_run(self, status='COMPLETED'):
         if self.run_dir is None:
             return
+        try:
+            import jax
+            if jax.process_index() != 0:
+                return
+        except Exception:
+            pass
         meta = json.loads((self.run_dir / 'run.json').read_text())
         meta['status'] = status
         meta['stop_time'] = datetime.datetime.now().isoformat()
@@ -154,15 +160,49 @@ class Experiment:
             except Exception:
                 pass
 
+    @staticmethod
+    def _broadcast_run_id(run_id: int) -> int:
+        """Share the master's run id with all hosts (the reference bcasts
+        the sacred run dir over MPI, run.py:98).  No-op single-host."""
+        try:
+            import jax
+            if jax.process_count() <= 1:
+                return run_id
+            import numpy as np
+            from jax.experimental import multihost_utils
+            arr = multihost_utils.broadcast_one_to_all(
+                np.asarray([run_id], np.int32))
+            return int(arr[0])
+        except Exception:
+            return run_id
+
     def run_commandline(self, argv=None, create_run_dir=True):
         self._honor_jax_platforms_env()
+        # multi-host: join jax.distributed before allocating the run dir
+        try:
+            from pb_chime5_tpu.parallel.distributed import maybe_initialize
+            maybe_initialize()
+        except Exception:
+            pass
         command, storage_dir = self.parse_argv(argv)
         if command not in self._commands:
             raise SystemExit(
                 f'Unknown command {command!r}; available: '
                 f'{sorted(self._commands)}')
         if create_run_dir:
-            self.run_dir = self._create_run_dir(storage_dir)
+            # master allocates the run dir; other hosts join it
+            is_master = True
+            try:
+                import jax
+                is_master = jax.process_index() == 0
+            except Exception:
+                pass
+            if is_master:
+                self.run_dir = self._create_run_dir(storage_dir)
+            run_id = self._broadcast_run_id(
+                int(self.run_dir.name) if self.run_dir is not None else -1)
+            if not is_master:
+                self.run_dir = Path(storage_dir) / str(run_id)
             print(f'Experiment dir: {self.run_dir}')
         # print_config (sacred prints the resolved config on the master)
         print('Configuration:')

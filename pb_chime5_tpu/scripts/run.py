@@ -47,8 +47,7 @@ def make_experiment(get_enhancer_fn=get_enhancer, default_storage='runs'):
     })
 
     def run(exp, test_run=False):
-        from pb_chime5_tpu.parallel import maybe_initialize, is_master
-        maybe_initialize()
+        from pb_chime5_tpu.parallel import is_master
         cfg = dict(exp.config)
         chime6 = cfg.pop('chime6', False)
         session_id = cfg.pop('session_id')
