@@ -273,7 +273,12 @@ class Enhancer:
             ) from None
 
     def _load_observation(self, ex, reference_array):
-        """Multi-array stacking (reference core.py:427-490)."""
+        """Multi-array stacking (reference core.py:427-490).
+
+        Audio is read in the file's native dtype: PCM16 corpora stay
+        int16 all the way to the device, which halves the host->device
+        transfer; the 2^-15 scaling happens in-graph (bit-identical to
+        the reference's float64 read)."""
         def load_arrays(channel_selector):
             arrays = []
             for array in sorted(ex['audio_path']['observation'].keys()):
@@ -281,6 +286,7 @@ class Enhancer:
                     ex['audio_path']['observation'][array],
                     start=ex['start']['observation'][array],
                     stop=ex['end']['observation'][array],
+                    dtype=None,
                 )
                 arrays.append(audio[channel_selector])
             assert {a.ndim for a in arrays} == {2}, \
@@ -303,6 +309,7 @@ class Enhancer:
                 ex['audio_path']['observation'][reference_array],
                 start=ex['start']['observation'][reference_array],
                 stop=ex['end']['observation'][reference_array],
+                dtype=None,
             )
         raise ValueError(self.multiarray)
 

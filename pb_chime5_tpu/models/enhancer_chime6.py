@@ -122,7 +122,7 @@ class Enhancer(_Chime5Enhancer):
             for array in sorted(ex['audio_path']['observation'].keys()):
                 audio = load_audio(
                     ex['audio_path']['observation'][array],
-                    start=ex['start'], stop=ex['end'])
+                    start=ex['start'], stop=ex['end'], dtype=None)
                 arrays.append(audio[channel_selector])
             time_length = min(a.shape[-1] for a in arrays)
             stacked = np.array([a[..., :time_length] for a in arrays])
@@ -140,7 +140,7 @@ class Enhancer(_Chime5Enhancer):
             reference_array = self._resolve_reference_array(ex)
             return load_audio(
                 ex['audio_path']['observation'][reference_array],
-                start=ex['start'], stop=ex['end'])
+                start=ex['start'], stop=ex['end'], dtype=None)
         raise ValueError(self.multiarray)
 
     def enhance_observation(self, obs, ex_array_activity, speaker_id,

@@ -211,6 +211,11 @@ def gss_enhance(
       (reference core.py:500-505).
     """
     obs = jnp.asarray(obs)
+    if obs.dtype == jnp.int16:
+        # raw PCM path: ship int16 over the host->device link (half the
+        # bytes) and apply the 2^-15 scaling on device — bit-identical to
+        # the reference's float64 read of PCM16 (audioread.py:40)
+        obs = obs.astype(jnp.float32) * jnp.float32(2.0 ** -15)
     D, N = obs.shape
     size, shift = config.stft_size, config.stft_shift
 
@@ -274,13 +279,17 @@ class GssPipeline:
 
     def __call__(self, obs, activity_freq, target_index, *,
                  start_context_frames=0, end_context_frames=0):
-        obs = np.asarray(obs, dtype=self.dtype)
+        obs = np.asarray(obs)
+        if obs.dtype == np.int32:      # PCM32: scale on host
+            obs = (obs * 2.0 ** -31).astype(self.dtype)
+        elif obs.dtype != np.int16:    # int16 PCM is scaled on device
+            obs = obs.astype(self.dtype)
         if obs.ndim == 1:
             obs = obs[None]
         D, N = obs.shape
         N_pad = self.bucket_length(N)
         T_pad = self.frame_count(N_pad)
-        padded = np.zeros((D, N_pad), self.dtype)
+        padded = np.zeros((D, N_pad), obs.dtype)
         padded[:, :N] = obs
         act = np.zeros((activity_freq.shape[0], T_pad), np.int8)
         act[:, :activity_freq.shape[1]] = np.asarray(activity_freq,

@@ -60,6 +60,7 @@ def create_synthetic_chime5(
         seed=0,
         clock_drift=True,
         chime6=False,
+        pcm16=False,
 ):
     """Write a CHiME-5-format database tree under ``root``.
 
@@ -113,13 +114,21 @@ def create_synthetic_chime5(
 
         # worn stereo: own speech loud + others faint
         from pb_chime5_tpu.io import dump_audio
+
+        def write(x, path):
+            if pcm16:
+                # like the real corpus: 16-bit PCM
+                dump_audio(np.clip(x, -1, 1 - 2 ** -15), path,
+                           normalize=False, dtype=np.int16)
+            else:
+                dump_audio(x, path, normalize=False, dtype=None)
+
         for k, spk in enumerate(speakers):
             own = sources[k]
             bleed = 0.1 * (sources.sum(0) - own)
             stereo = np.stack([own + bleed, 0.9 * (own + bleed)])
             stereo = stereo + 0.01 * rng.standard_normal(stereo.shape)
-            dump_audio(stereo * 0.1, audio_dir / f'{sid}_{spk}.wav',
-                       normalize=False, dtype=None)
+            write(stereo * 0.1, audio_dir / f'{sid}_{spk}.wav')
 
         # arrays: random FIR mixtures, per-array clock drift
         drifts = {}
@@ -136,9 +145,8 @@ def create_synthetic_chime5(
             mics += 0.01 * rng.standard_normal(mics.shape).astype(
                 np.float32)
             for m in range(num_array_mics):
-                dump_audio(mics[m] * 0.05,
-                           audio_dir / f'{sid}_{arr}.CH{m + 1}.wav',
-                           normalize=False, dtype=None)
+                write(mics[m] * 0.05,
+                      audio_dir / f'{sid}_{arr}.CH{m + 1}.wav')
 
         # challenge-format transcription JSON
         trans = []

@@ -67,6 +67,29 @@ def test_enhancer_multiarray_wpe(corpus, tmp_path):
     assert len(wavs) == 1
 
 
+def test_pcm16_corpus_end_to_end(tmp_path):
+    """16-bit PCM corpus (like the real CHiME-5): int16 flows to the
+    device untouched and is scaled in-graph."""
+    info = create_synthetic_chime5(
+        tmp_path / 'c', session_ids=('S02',), duration_seconds=12.0,
+        utterances_per_speaker=1, seed=21, pcm16=True)
+    json_path = tmp_path / 'chime5.json'
+    dump_json(create_database(tmp_path / 'c'), json_path)
+    enhancer = get_enhancer(
+        database_path=str(json_path), wpe=False, multiarray=True, **SMALL)
+    it = enhancer.get_iterator('S02')
+    ex = it[0]
+    ref, obs = enhancer._prepare_example(ex)
+    assert obs.dtype == np.int16, obs.dtype
+    x = enhancer._enhance_loaded(ex, ref, obs)
+    assert np.isfinite(x).all()
+    assert np.abs(x).max() > 0
+    # scale must match the float64 read path (2^-15 per PCM16 sample)
+    obs_f = obs.astype(np.float64) / 2 ** 15
+    k = info['sessions']['S02']['speakers'].index(ex['speaker_id'])
+    assert np.abs(x).max() < 1.5 * np.abs(obs_f).max() * 10
+
+
 def test_enhancer_multiarray_string_modes(corpus, tmp_path):
     """outer_array_mics / first_array_mics channel selection (regression:
     tuple indexing collapsed the channel axis)."""
