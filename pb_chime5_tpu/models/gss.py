@@ -251,6 +251,26 @@ def gss_enhance(
     return x_hat, jnp.transpose(masks, (1, 2, 0))              # (K, T, F)
 
 
+def enable_persistent_compilation_cache():
+    """Idempotent: the fused program takes minutes to compile through the
+    remote TPU compile service; cache compilations on disk
+    (PB_JAX_CACHE_DIR env var or <repo>/.jax_cache)."""
+    import os
+    if getattr(enable_persistent_compilation_cache, '_done', False):
+        return
+    enable_persistent_compilation_cache._done = True
+    try:
+        from pathlib import Path
+        cache_dir = os.environ.get(
+            'PB_JAX_CACHE_DIR',
+            str(Path(__file__).resolve().parents[2] / '.jax_cache'))
+        Path(cache_dir).mkdir(parents=True, exist_ok=True)
+        jax.config.update('jax_compilation_cache_dir', cache_dir)
+        jax.config.update('jax_persistent_cache_min_compile_time_secs', 10)
+    except Exception:
+        pass
+
+
 class GssPipeline:
     """Convenience host wrapper: NumPy in, NumPy out, one compile per
     (config, D, bucketed N, K)."""
@@ -260,6 +280,7 @@ class GssPipeline:
         self.config = config
         self.length_buckets = length_buckets
         self.dtype = dtype
+        enable_persistent_compilation_cache()
 
     def bucket_length(self, n: int) -> int:
         if not self.length_buckets:
@@ -278,7 +299,12 @@ class GssPipeline:
             fading=self.config.stft_fading)
 
     def __call__(self, obs, activity_freq, target_index, *,
-                 start_context_frames=0, end_context_frames=0):
+                 start_context_frames=0, end_context_frames=0,
+                 return_masks=False):
+        """Returns (x_hat, masks); ``masks`` is None unless
+        ``return_masks`` — downloading the (K, T, F) posterior tensor
+        costs far more than the enhancement itself on a slow
+        host<->device link."""
         obs = np.asarray(obs)
         if obs.dtype == np.int32:      # PCM32: scale on host
             obs = (obs * 2.0 ** -31).astype(self.dtype)
@@ -302,4 +328,5 @@ class GssPipeline:
             num_valid_samples=jnp.int32(N),
             num_output_samples=N_pad,
         )
-        return np.asarray(x_hat)[:N], np.asarray(masks)
+        return (np.asarray(x_hat)[:N],
+                np.asarray(masks) if return_masks else None)
