@@ -230,6 +230,21 @@ class Enhancer:
                 window.append((ex, pool.submit(prepare, ex)))
                 if len(window) >= prefetch:
                     break
+            # depth-1 device pipeline: dispatch utterance n+1 (upload +
+            # compute are async in jax) before gathering utterance n
+            can_dispatch = hasattr(self, '_dispatch_loaded')
+            inflight = None   # (example_id, session_id, handle, trim)
+
+            def finish(entry):
+                example_id, session_id, handle, trim = entry
+                x_hat = self._finish_dispatched(handle, trim)
+                assert x_hat.ndim == 1, x_hat.shape
+                dataset = mapping.session_to_dataset[session_id]
+                dump_audio(x_hat,
+                           audio_dir / dataset / f'{example_id}.wav')
+                if progress is not None:
+                    progress(example_id)
+
             while window:
                 ex, future = window.popleft()
                 nxt = next(todo_iter, None)
@@ -238,11 +253,25 @@ class Enhancer:
                 example_id = ex['example_id']
                 try:
                     reference_array, obs = future.result()
-                    x_hat = self._enhance_loaded(ex, reference_array, obs)
-                    assert x_hat.ndim == 1, x_hat.shape
-                    dataset = mapping.session_to_dataset[ex['session_id']]
-                    dump_audio(x_hat,
-                               audio_dir / dataset / f'{example_id}.wav')
+                    if can_dispatch:
+                        handle, trim = self._dispatch_loaded(
+                            ex, reference_array, obs)
+                        prev, inflight = inflight, (
+                            example_id, ex['session_id'], handle, trim)
+                        if prev is not None:
+                            example_id = prev[0]   # for error reporting
+                            finish(prev)
+                    else:
+                        x_hat = self._enhance_loaded(ex, reference_array,
+                                                     obs)
+                        assert x_hat.ndim == 1, x_hat.shape
+                        dataset = mapping.session_to_dataset[
+                            ex['session_id']]
+                        dump_audio(
+                            x_hat,
+                            audio_dir / dataset / f"{ex['example_id']}.wav")
+                        if progress is not None:
+                            progress(ex['example_id'])
                 except Exception:
                     print('ERROR: Failed example:', example_id)
                     if on_error == 'raise':
@@ -251,8 +280,16 @@ class Enhancer:
                     import traceback
                     traceback.print_exc()
                     continue
-                if progress is not None:
-                    progress(example_id)
+            if inflight is not None:
+                try:
+                    finish(inflight)
+                except Exception:
+                    print('ERROR: Failed example:', inflight[0])
+                    if on_error == 'raise':
+                        raise
+                    assert on_error == 'skip', on_error
+                    import traceback
+                    traceback.print_exc()
 
     # ------------------------------------------------------------------
 
@@ -323,9 +360,10 @@ class Enhancer:
         reference_array, obs = self._prepare_example(ex)
         return self._enhance_loaded(ex, reference_array, obs)
 
-    def _enhance_loaded(self, ex, reference_array, obs):
-        """Everything after the audio read (so enhance_session can
-        prefetch I/O in a worker thread)."""
+    def _dispatch_loaded(self, ex, reference_array, obs):
+        """Device-dispatch part: returns (pipeline handle, trim) without
+        blocking, so the session loop can overlap upload+compute of the
+        next utterance with gathering this one."""
         session_id = ex['session_id']
         speaker_id = ex['speaker_id']
 
@@ -338,22 +376,48 @@ class Enhancer:
                 reference_array].items()
         }
 
-        x_hat = self.enhance_observation(
-            obs,
-            ex_array_activity=ex_array_activity,
-            speaker_id=speaker_id,
-            ex=ex,
+        activity_freq = activity_time_to_frequency(
+            np.array(list(ex_array_activity.values())),
+            stft_window_length=self.stft_size,
+            stft_shift=self.stft_shift,
+            stft_fading=self.stft_fading,
+            stft_pad=True,
         )
+        if self.bf_drop_context:
+            start_context_frames, end_context_frames = \
+                start_end_context_frames(
+                    ex,
+                    stft_size=self.stft_size,
+                    stft_shift=self.stft_shift,
+                    stft_fading=self.stft_fading,
+                )
+        else:
+            start_context_frames = end_context_frames = 0
 
+        target_index = tuple(ex_array_activity.keys()).index(speaker_id)
+        handle = self._pipeline.dispatch(
+            obs, activity_freq, target_index,
+            start_context_frames=start_context_frames,
+            end_context_frames=end_context_frames,
+        )
+        trim = None
         if self.context_samples > 0:
             start_orig = ex['start_orig']['observation'][reference_array]
             start = ex['start']['observation'][reference_array]
-            start_context = start_orig - start
-            num_samples_orig = \
-                ex['num_samples_orig']['observation'][reference_array]
-            x_hat = x_hat[..., start_context:
-                          start_context + num_samples_orig]
+            trim = (start_orig - start,
+                    ex['num_samples_orig']['observation'][reference_array])
+        return handle, trim
+
+    def _finish_dispatched(self, handle, trim):
+        x_hat = self._pipeline.gather(handle)
+        if trim is not None:
+            x_hat = x_hat[..., trim[0]:trim[0] + trim[1]]
         return x_hat
+
+    def _enhance_loaded(self, ex, reference_array, obs):
+        """Everything after the audio read."""
+        return self._finish_dispatched(
+            *self._dispatch_loaded(ex, reference_array, obs))
 
     def enhance_observation(self, obs, ex_array_activity, speaker_id,
                             ex=None):

@@ -90,7 +90,9 @@ class Enhancer(_Chime5Enhancer):
     def _prepare_example(self, ex):
         return None, self._load_observation_flat(ex)
 
-    def _enhance_loaded(self, ex, reference_array, obs):
+    def _dispatch_loaded(self, ex, reference_array, obs):
+        from pb_chime5_tpu.utils.activity_freq import (
+            activity_time_to_frequency)
         session_id = ex['session_id']
         speaker_id = ex['speaker_id']
         array_start = ex['start']
@@ -100,19 +102,37 @@ class Enhancer(_Chime5Enhancer):
             k: arr[array_start:min(array_end, len(arr))]
             for k, arr in self.activity[session_id].items()
         }
-
-        x_hat = self.enhance_observation(
-            obs,
-            ex_array_activity=ex_array_activity,
-            speaker_id=speaker_id,
-            ex=ex,
+        activity_freq = activity_time_to_frequency(
+            np.array(list(ex_array_activity.values())),
+            stft_window_length=self.stft_size,
+            stft_shift=self.stft_shift,
+            stft_fading=self.stft_fading,
+            stft_pad=True,
         )
+        if self.bf_drop_context:
+            start_context_frames, end_context_frames = \
+                start_end_context_frames(
+                    ex, stft_size=self.stft_size,
+                    stft_shift=self.stft_shift,
+                    stft_fading=self.stft_fading)
+        else:
+            start_context_frames = end_context_frames = 0
 
+        target_index = tuple(ex_array_activity.keys()).index(speaker_id)
+        handle = self._pipeline.dispatch(
+            obs, activity_freq, target_index,
+            start_context_frames=start_context_frames,
+            end_context_frames=end_context_frames,
+        )
+        trim = None
         if self.context_samples > 0:
-            start_context = ex['start_orig'] - ex['start']
-            x_hat = x_hat[..., start_context:
-                          start_context + ex['num_samples_orig']]
-        return x_hat
+            trim = (ex['start_orig'] - ex['start'],
+                    ex['num_samples_orig'])
+        return handle, trim
+
+    def _enhance_loaded(self, ex, reference_array, obs):
+        return self._finish_dispatched(
+            *self._dispatch_loaded(ex, reference_array, obs))
 
     def _load_observation_flat(self, ex):
         """Multi-array stacking on one global clock (reference

@@ -330,3 +330,39 @@ class GssPipeline:
         )
         return (np.asarray(x_hat)[:N],
                 np.asarray(masks) if return_masks else None)
+
+    def dispatch(self, obs, activity_freq, target_index, *,
+                 start_context_frames=0, end_context_frames=0):
+        """Asynchronous variant: returns an opaque handle immediately
+        (jax dispatch is async), so the caller can enqueue the next
+        utterance's upload+compute while this one runs; resolve with
+        ``gather``."""
+        obs = np.asarray(obs)
+        if obs.dtype == np.int32:
+            obs = (obs * 2.0 ** -31).astype(self.dtype)
+        elif obs.dtype != np.int16:
+            obs = obs.astype(self.dtype)
+        if obs.ndim == 1:
+            obs = obs[None]
+        D, N = obs.shape
+        N_pad = self.bucket_length(N)
+        T_pad = self.frame_count(N_pad)
+        padded = np.zeros((D, N_pad), obs.dtype)
+        padded[:, :N] = obs
+        act = np.zeros((activity_freq.shape[0], T_pad), np.int8)
+        act[:, :activity_freq.shape[1]] = np.asarray(activity_freq,
+                                                     np.int8)[:, :T_pad]
+        x_hat, _ = gss_enhance(
+            padded, act, jnp.int32(target_index),
+            config=self.config,
+            start_context_frames=jnp.int32(start_context_frames),
+            end_context_frames=jnp.int32(end_context_frames),
+            num_valid_samples=jnp.int32(N),
+            num_output_samples=N_pad,
+        )
+        return x_hat, N
+
+    @staticmethod
+    def gather(handle):
+        x_hat, N = handle
+        return np.asarray(x_hat)[:N]

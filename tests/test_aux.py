@@ -112,8 +112,11 @@ def test_on_error_skip(tmp_path, monkeypatch):
 
     monkeypatch.setattr(enhancer, '_prepare_example',
                         lambda ex: (None, None))
-    monkeypatch.setattr(enhancer, '_enhance_loaded',
-                        lambda ex, ref, obs: boom(ex))
+    monkeypatch.setattr(enhancer, '_dispatch_loaded',
+                        lambda ex, ref, obs: (boom(ex), None))
+    monkeypatch.setattr(
+        enhancer, '_finish_dispatched',
+        lambda handle, trim: handle)
     out = tmp_path / 'audio'
     enhancer.enhance_session(['S02'], out, dataset_slice=2,
                              audio_dir_exist_ok=True, on_error='skip')
