@@ -49,6 +49,9 @@ class GssConfig:
     wpe_delay: int = 2
     wpe_iterations: int = 3
     wpe_psd_context: int = 0
+    # equilibrated-Cholesky diagonal loading (see ops/wpe.py); 0 restores
+    # the reference-exact float64 LU solve
+    wpe_regularization: float = 1e-4
     # chunked WPE statistics (see ops/wpe.py): None materializes the
     # (F, taps*D, T) stacked signal; an int bounds HBM for batched /
     # very long inputs
@@ -136,6 +139,7 @@ def enhance_spectrogram(
             delay=config.wpe_delay,
             iterations=config.wpe_iterations,
             psd_context=config.wpe_psd_context,
+            regularization=config.wpe_regularization,
             chunk_size=config.wpe_chunk_size,
             frame_mask=frame_mask,
         )
