@@ -29,6 +29,24 @@ def test_device_sync():
     assert out['z'] == 'not-an-array'
 
 
+def test_change_directory(tmp_path):
+    import os
+    from pb_chime5_tpu.io import change_directory
+    cwd = os.getcwd()
+    with change_directory(tmp_path):
+        assert os.getcwd() == str(tmp_path)
+    assert os.getcwd() == cwd
+
+
+def test_profiler_trace(tmp_path):
+    import jax.numpy as jnp
+    from pb_chime5_tpu.utils.profiling import trace
+    with trace(tmp_path):
+        _ = jnp.ones((8,)) * 2
+    # a trace directory should have been produced
+    assert any(tmp_path.rglob('*')), list(tmp_path.iterdir())
+
+
 def test_summary_encoder():
     from pb_chime5_tpu.io import SummaryEncoder
     s = json.dumps({'a': np.zeros((3, 4))}, cls=SummaryEncoder)

@@ -52,6 +52,12 @@ def test_lazy_dataset_basics():
     assert len(cat) == 2
 
 
+def test_lazy_dataset_sort():
+    ds = from_dict({'a': {'x': 3}, 'b': {'x': 1}, 'c': {'x': 2}})
+    out = [e['x'] for e in ds.sort(lambda e: e['x'])]
+    assert out == [1, 2, 3]
+
+
 def test_lazy_dataset_deepcopy_isolation():
     ds = from_dict({'a': {'v': [1, 2]}})
     e1 = ds['a']
