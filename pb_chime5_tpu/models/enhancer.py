@@ -215,10 +215,20 @@ class Enhancer:
         import collections
         import concurrent.futures
 
-        todo = [ex for ex in shard_fn(examples, length_fn)
-                if not (resume and (
-                    audio_dir / mapping.session_to_dataset[ex['session_id']]
-                    / f"{ex['example_id']}.wav").exists())]
+        def todo_gen():
+            # Consume shard_fn LAZILY: FileQueueScheduler.shard yields a
+            # claimed item and marks it done when the next item is
+            # requested — materializing the generator would mark every
+            # claim done before processing (and defeat dynamic balancing).
+            for ex in shard_fn(examples, length_fn):
+                if resume and (
+                        audio_dir
+                        / mapping.session_to_dataset[ex['session_id']]
+                        / f"{ex['example_id']}.wav").exists():
+                    continue
+                yield ex
+
+        todo = todo_gen()
 
         prepare = self._prepare_example
 
@@ -232,7 +242,6 @@ class Enhancer:
                     break
             # depth-1 device pipeline: dispatch utterance n+1 (upload +
             # compute are async in jax) before gathering utterance n
-            can_dispatch = hasattr(self, '_dispatch_loaded')
             inflight = None   # (example_id, session_id, handle, trim)
 
             def finish(entry):
@@ -253,25 +262,13 @@ class Enhancer:
                 example_id = ex['example_id']
                 try:
                     reference_array, obs = future.result()
-                    if can_dispatch:
-                        handle, trim = self._dispatch_loaded(
-                            ex, reference_array, obs)
-                        prev, inflight = inflight, (
-                            example_id, ex['session_id'], handle, trim)
-                        if prev is not None:
-                            example_id = prev[0]   # for error reporting
-                            finish(prev)
-                    else:
-                        x_hat = self._enhance_loaded(ex, reference_array,
-                                                     obs)
-                        assert x_hat.ndim == 1, x_hat.shape
-                        dataset = mapping.session_to_dataset[
-                            ex['session_id']]
-                        dump_audio(
-                            x_hat,
-                            audio_dir / dataset / f"{ex['example_id']}.wav")
-                        if progress is not None:
-                            progress(ex['example_id'])
+                    handle, trim = self._dispatch_loaded(
+                        ex, reference_array, obs)
+                    prev, inflight = inflight, (
+                        example_id, ex['session_id'], handle, trim)
+                    if prev is not None:
+                        example_id = prev[0]   # for error reporting
+                        finish(prev)
                 except Exception:
                     print('ERROR: Failed example:', example_id)
                     if on_error == 'raise':
@@ -360,22 +357,21 @@ class Enhancer:
         reference_array, obs = self._prepare_example(ex)
         return self._enhance_loaded(ex, reference_array, obs)
 
-    def _dispatch_loaded(self, ex, reference_array, obs):
-        """Device-dispatch part: returns (pipeline handle, trim) without
-        blocking, so the session loop can overlap upload+compute of the
-        next utterance with gathering this one."""
+    def _example_activity(self, ex, reference_array):
+        """Per-class sample activity sliced to this example's span on the
+        reference array's clock (reference core.py:419-425)."""
         session_id = ex['session_id']
-        speaker_id = ex['speaker_id']
-
         array_start = ex['start']['observation'][reference_array]
         array_end = ex['end']['observation'][reference_array]
-
-        ex_array_activity = {
+        return {
             k: arr[array_start:min(array_end, len(arr))]
             for k, arr in self.activity[session_id][
                 reference_array].items()
         }
 
+    def _device_args(self, ex_array_activity, speaker_id, ex):
+        """(activity_freq, target_index, start/end context frames) —
+        shared by enhance_observation and the async dispatch path."""
         activity_freq = activity_time_to_frequency(
             np.array(list(ex_array_activity.values())),
             stft_window_length=self.stft_size,
@@ -385,28 +381,37 @@ class Enhancer:
         )
         if self.bf_drop_context:
             start_context_frames, end_context_frames = \
-                start_end_context_frames(
-                    ex,
-                    stft_size=self.stft_size,
-                    stft_shift=self.stft_shift,
-                    stft_fading=self.stft_fading,
-                )
+                self._context_frames(ex)
         else:
             start_context_frames = end_context_frames = 0
-
         target_index = tuple(ex_array_activity.keys()).index(speaker_id)
+        return (activity_freq, target_index, start_context_frames,
+                end_context_frames)
+
+    def _context_frames(self, ex):
+        return start_end_context_frames(
+            ex, stft_size=self.stft_size, stft_shift=self.stft_shift,
+            stft_fading=self.stft_fading)
+
+    def _trim(self, ex, reference_array):
+        if self.context_samples <= 0:
+            return None
+        start_orig = ex['start_orig']['observation'][reference_array]
+        start = ex['start']['observation'][reference_array]
+        return (start_orig - start,
+                ex['num_samples_orig']['observation'][reference_array])
+
+    def _dispatch_loaded(self, ex, reference_array, obs):
+        """Device-dispatch part: returns (pipeline handle, trim) without
+        blocking, so the session loop can overlap upload+compute of the
+        next utterance with gathering this one."""
+        activity_freq, target_index, start_cf, end_cf = self._device_args(
+            self._example_activity(ex, reference_array),
+            ex['speaker_id'], ex)
         handle = self._pipeline.dispatch(
             obs, activity_freq, target_index,
-            start_context_frames=start_context_frames,
-            end_context_frames=end_context_frames,
-        )
-        trim = None
-        if self.context_samples > 0:
-            start_orig = ex['start_orig']['observation'][reference_array]
-            start = ex['start']['observation'][reference_array]
-            trim = (start_orig - start,
-                    ex['num_samples_orig']['observation'][reference_array])
-        return handle, trim
+            start_context_frames=start_cf, end_context_frames=end_cf)
+        return handle, self._trim(ex, reference_array)
 
     def _finish_dispatched(self, handle, trim):
         x_hat = self._pipeline.gather(handle)
@@ -421,31 +426,15 @@ class Enhancer:
 
     def enhance_observation(self, obs, ex_array_activity, speaker_id,
                             ex=None):
-        activity_freq = activity_time_to_frequency(
-            np.array(list(ex_array_activity.values())),
-            stft_window_length=self.stft_size,
-            stft_shift=self.stft_shift,
-            stft_fading=self.stft_fading,
-            stft_pad=True,
-        )
-
-        if self.bf_drop_context:
-            start_context_frames, end_context_frames = \
-                start_end_context_frames(
-                    ex,
-                    stft_size=self.stft_size,
-                    stft_shift=self.stft_shift,
-                    stft_fading=self.stft_fading,
-                )
-        else:
-            start_context_frames = end_context_frames = 0
-
-        target_index = tuple(ex_array_activity.keys()).index(speaker_id)
-
+        """Public per-observation entry point (reference
+        core.py:514-571); shares the device-argument prep with the async
+        dispatch path."""
+        activity_freq, target_index, start_cf, end_cf = self._device_args(
+            ex_array_activity, speaker_id, ex)
         x_hat, _ = self._pipeline(
             obs, activity_freq, target_index,
-            start_context_frames=start_context_frames,
-            end_context_frames=end_context_frames,
+            start_context_frames=start_cf,
+            end_context_frames=end_cf,
         )
         return x_hat
 

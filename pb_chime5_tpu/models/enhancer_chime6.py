@@ -90,49 +90,27 @@ class Enhancer(_Chime5Enhancer):
     def _prepare_example(self, ex):
         return None, self._load_observation_flat(ex)
 
-    def _dispatch_loaded(self, ex, reference_array, obs):
-        from pb_chime5_tpu.utils.activity_freq import (
-            activity_time_to_frequency)
-        session_id = ex['session_id']
-        speaker_id = ex['speaker_id']
+    # flat-clock overrides of the base class's prep helpers; the shared
+    # _device_args / _dispatch_loaded / _enhance_loaded machinery is
+    # inherited unchanged
+
+    def _example_activity(self, ex, reference_array):
         array_start = ex['start']
         array_end = ex['end']
-
-        ex_array_activity = {
+        return {
             k: arr[array_start:min(array_end, len(arr))]
-            for k, arr in self.activity[session_id].items()
+            for k, arr in self.activity[ex['session_id']].items()
         }
-        activity_freq = activity_time_to_frequency(
-            np.array(list(ex_array_activity.values())),
-            stft_window_length=self.stft_size,
-            stft_shift=self.stft_shift,
-            stft_fading=self.stft_fading,
-            stft_pad=True,
-        )
-        if self.bf_drop_context:
-            start_context_frames, end_context_frames = \
-                start_end_context_frames(
-                    ex, stft_size=self.stft_size,
-                    stft_shift=self.stft_shift,
-                    stft_fading=self.stft_fading)
-        else:
-            start_context_frames = end_context_frames = 0
 
-        target_index = tuple(ex_array_activity.keys()).index(speaker_id)
-        handle = self._pipeline.dispatch(
-            obs, activity_freq, target_index,
-            start_context_frames=start_context_frames,
-            end_context_frames=end_context_frames,
-        )
-        trim = None
-        if self.context_samples > 0:
-            trim = (ex['start_orig'] - ex['start'],
-                    ex['num_samples_orig'])
-        return handle, trim
+    def _context_frames(self, ex):
+        return start_end_context_frames(
+            ex, stft_size=self.stft_size, stft_shift=self.stft_shift,
+            stft_fading=self.stft_fading)
 
-    def _enhance_loaded(self, ex, reference_array, obs):
-        return self._finish_dispatched(
-            *self._dispatch_loaded(ex, reference_array, obs))
+    def _trim(self, ex, reference_array):
+        if self.context_samples <= 0:
+            return None
+        return (ex['start_orig'] - ex['start'], ex['num_samples_orig'])
 
     def _load_observation_flat(self, ex):
         """Multi-array stacking on one global clock (reference
@@ -162,35 +140,6 @@ class Enhancer(_Chime5Enhancer):
                 ex['audio_path']['observation'][reference_array],
                 start=ex['start'], stop=ex['end'], dtype=None)
         raise ValueError(self.multiarray)
-
-    def enhance_observation(self, obs, ex_array_activity, speaker_id,
-                            ex=None):
-        from pb_chime5_tpu.utils.activity_freq import (
-            activity_time_to_frequency)
-
-        activity_freq = activity_time_to_frequency(
-            np.array(list(ex_array_activity.values())),
-            stft_window_length=self.stft_size,
-            stft_shift=self.stft_shift,
-            stft_fading=self.stft_fading,
-            stft_pad=True,
-        )
-        if self.bf_drop_context:
-            start_context_frames, end_context_frames = \
-                start_end_context_frames(
-                    ex, stft_size=self.stft_size,
-                    stft_shift=self.stft_shift,
-                    stft_fading=self.stft_fading)
-        else:
-            start_context_frames = end_context_frames = 0
-
-        target_index = tuple(ex_array_activity.keys()).index(speaker_id)
-        x_hat, _ = self._pipeline(
-            obs, activity_freq, target_index,
-            start_context_frames=start_context_frames,
-            end_context_frames=end_context_frames,
-        )
-        return x_hat
 
 
 def get_enhancer(

@@ -302,20 +302,31 @@ class GssPipeline:
             num_samples, self.config.stft_size, self.config.stft_shift,
             fading=self.config.stft_fading)
 
-    def __call__(self, obs, activity_freq, target_index, *,
-                 start_context_frames=0, end_context_frames=0,
-                 return_masks=False):
-        """Returns (x_hat, masks); ``masks`` is None unless
-        ``return_masks`` — downloading the (K, T, F) posterior tensor
-        costs far more than the enhancement itself on a slow
-        host<->device link."""
+    def _normalize_obs(self, obs):
+        """Bring the observation to the compute dtype.  int16 PCM stays
+        int16 only when computing in float32 (the in-graph scaling path
+        is float32); any other compute dtype scales on the host so the
+        configured precision is honored."""
         obs = np.asarray(obs)
-        if obs.dtype == np.int32:      # PCM32: scale on host
+        if obs.dtype == np.int16:
+            if np.dtype(self.dtype) != np.float32:
+                obs = (obs.astype(self.dtype) * 2.0 ** -15).astype(
+                    self.dtype)
+        elif obs.dtype == np.int32:    # PCM32: scale on host
             obs = (obs * 2.0 ** -31).astype(self.dtype)
-        elif obs.dtype != np.int16:    # int16 PCM is scaled on device
+        else:
             obs = obs.astype(self.dtype)
         if obs.ndim == 1:
             obs = obs[None]
+        return obs
+
+    def dispatch(self, obs, activity_freq, target_index, *,
+                 start_context_frames=0, end_context_frames=0):
+        """Asynchronous call: returns an opaque handle immediately (jax
+        dispatch is async), so the caller can enqueue the next
+        utterance's upload+compute while this one runs; resolve with
+        ``gather``."""
+        obs = self._normalize_obs(obs)
         D, N = obs.shape
         N_pad = self.bucket_length(N)
         T_pad = self.frame_count(N_pad)
@@ -332,41 +343,25 @@ class GssPipeline:
             num_valid_samples=jnp.int32(N),
             num_output_samples=N_pad,
         )
-        return (np.asarray(x_hat)[:N],
-                np.asarray(masks) if return_masks else None)
-
-    def dispatch(self, obs, activity_freq, target_index, *,
-                 start_context_frames=0, end_context_frames=0):
-        """Asynchronous variant: returns an opaque handle immediately
-        (jax dispatch is async), so the caller can enqueue the next
-        utterance's upload+compute while this one runs; resolve with
-        ``gather``."""
-        obs = np.asarray(obs)
-        if obs.dtype == np.int32:
-            obs = (obs * 2.0 ** -31).astype(self.dtype)
-        elif obs.dtype != np.int16:
-            obs = obs.astype(self.dtype)
-        if obs.ndim == 1:
-            obs = obs[None]
-        D, N = obs.shape
-        N_pad = self.bucket_length(N)
-        T_pad = self.frame_count(N_pad)
-        padded = np.zeros((D, N_pad), obs.dtype)
-        padded[:, :N] = obs
-        act = np.zeros((activity_freq.shape[0], T_pad), np.int8)
-        act[:, :activity_freq.shape[1]] = np.asarray(activity_freq,
-                                                     np.int8)[:, :T_pad]
-        x_hat, _ = gss_enhance(
-            padded, act, jnp.int32(target_index),
-            config=self.config,
-            start_context_frames=jnp.int32(start_context_frames),
-            end_context_frames=jnp.int32(end_context_frames),
-            num_valid_samples=jnp.int32(N),
-            num_output_samples=N_pad,
-        )
-        return x_hat, N
+        return x_hat, masks, N
 
     @staticmethod
-    def gather(handle):
-        x_hat, N = handle
-        return np.asarray(x_hat)[:N]
+    def gather(handle, return_masks=False):
+        x_hat, masks, N = handle
+        return ((np.asarray(x_hat)[:N], np.asarray(masks))
+                if return_masks else np.asarray(x_hat)[:N])
+
+    def __call__(self, obs, activity_freq, target_index, *,
+                 start_context_frames=0, end_context_frames=0,
+                 return_masks=False):
+        """Synchronous call: returns (x_hat, masks); ``masks`` is None
+        unless ``return_masks`` — downloading the (K, T, F) posterior
+        tensor costs far more than the enhancement itself on a slow
+        host<->device link."""
+        handle = self.dispatch(
+            obs, activity_freq, target_index,
+            start_context_frames=start_context_frames,
+            end_context_frames=end_context_frames)
+        if return_masks:
+            return self.gather(handle, return_masks=True)
+        return self.gather(handle), None

@@ -118,6 +118,36 @@ def test_resume_skips_existing(tmp_path):
     assert done2 == []
 
 
+def test_shard_fn_consumed_lazily(tmp_path, monkeypatch):
+    """Regression: enhance_session must NOT materialize shard_fn's
+    generator (FileQueueScheduler.shard marks a claim done when the next
+    item is requested — draining the generator up front would mark
+    everything done before any processing)."""
+    enhancer = _tiny_enhancer(tmp_path)
+    events = []
+
+    def recording_shard(examples, length_fn):
+        for i, ex in enumerate(examples):
+            events.append(('yield', i))
+            yield ex
+
+    monkeypatch.setattr(enhancer, '_prepare_example',
+                        lambda ex: (None, None))
+    monkeypatch.setattr(enhancer, '_dispatch_loaded',
+                        lambda ex, ref, obs: (np.zeros(100, np.float32),
+                                              None))
+    monkeypatch.setattr(enhancer, '_finish_dispatched',
+                        lambda handle, trim: handle)
+    enhancer.enhance_session(
+        ['S02'], tmp_path / 'audio', audio_dir_exist_ok=True,
+        shard_fn=recording_shard,
+        progress=lambda eid: events.append(('done', eid)))
+    yields_before_first_done = [e for e in events[:events.index(
+        next(e for e in events if e[0] == 'done'))] if e[0] == 'yield']
+    # prefetch window (2) + dispatch-ahead (1) bound the read-ahead
+    assert len(yields_before_first_done) <= 4, events
+
+
 def test_on_error_skip(tmp_path, monkeypatch):
     enhancer = _tiny_enhancer(tmp_path)
     bad_id = {}
