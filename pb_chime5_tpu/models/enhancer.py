@@ -215,16 +215,26 @@ class Enhancer:
         import collections
         import concurrent.futures
 
+        # Completion-aware scheduling: FileQueueScheduler.shard returns an
+        # object whose done markers WE write (mark_complete) once the
+        # output WAV is durably on disk — never on generator advance,
+        # because this loop prefetches and dispatches ahead, so an item is
+        # pulled long before its predecessor's output exists.  A crashed
+        # worker therefore leaves only stale (reclaimable) claims behind.
+        shard = shard_fn(examples, length_fn)
+        mark_complete = getattr(shard, 'mark_complete', None)
+
         def todo_gen():
-            # Consume shard_fn LAZILY: FileQueueScheduler.shard yields a
-            # claimed item and marks it done when the next item is
-            # requested — materializing the generator would mark every
-            # claim done before processing (and defeat dynamic balancing).
-            for ex in shard_fn(examples, length_fn):
+            # Consume the shard LAZILY (dynamic schedulers claim on pull —
+            # materializing the iterator would claim everything up front
+            # and defeat dynamic balancing).
+            for ex in shard:
                 if resume and (
                         audio_dir
                         / mapping.session_to_dataset[ex['session_id']]
                         / f"{ex['example_id']}.wav").exists():
+                    if mark_complete is not None:
+                        mark_complete(ex['example_id'])
                     continue
                 yield ex
 
@@ -251,6 +261,8 @@ class Enhancer:
                 dataset = mapping.session_to_dataset[session_id]
                 dump_audio(x_hat,
                            audio_dir / dataset / f'{example_id}.wav')
+                if mark_complete is not None:
+                    mark_complete(example_id)
                 if progress is not None:
                     progress(example_id)
 

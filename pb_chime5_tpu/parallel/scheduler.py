@@ -41,7 +41,9 @@ def process_info():
     return 0, 1
 
 
-def serial_shard(items, **_):
+def serial_shard(items, *_args, **_kwargs):
+    """Identity shard matching the ``shard_fn(examples, length_fn)``
+    contract of Enhancer.enhance_session (the length_fn is ignored)."""
     return list(items)
 
 
@@ -133,7 +135,15 @@ class FileQueueScheduler:
 
     def __call__(self, items, key_fn=None):
         """Yield the items this worker wins; marks each done after the
-        consumer advances the generator."""
+        consumer advances the generator.
+
+        NOTE: generator-advance done-marking is only crash-safe when the
+        consumer fully processes item N before requesting item N+1.  A
+        pipelined consumer (like Enhancer.enhance_session, which prefetches
+        and dispatches ahead) must use :meth:`shard` instead, whose done
+        markers are written by an explicit ``mark_complete`` call after the
+        item's output is durable.
+        """
         key_fn = key_fn or self.default_key
         for item in items:
             key = key_fn(item)
@@ -144,5 +154,33 @@ class FileQueueScheduler:
     def shard(self, examples, length_fn=None):
         """Adapter matching the ``shard_fn(examples, length_fn)``
         signature of Enhancer.enhance_session (claims are keyed by
-        example id, NOT by length)."""
-        return self(examples)
+        example id, NOT by length).
+
+        Returns a :class:`_ClaimedShard`: iterating yields the examples
+        this worker wins; the consumer signals durable completion via
+        ``.mark_complete(example_or_key)``, which writes the done marker.
+        Until then the claim stays reclaimable after ``stale_seconds`` —
+        so a worker that crashes mid-utterance (even with work prefetched
+        or dispatched ahead) never strands an unwritten output.
+        """
+        return _ClaimedShard(self, examples, self.default_key)
+
+
+class _ClaimedShard:
+    """Iterable of won items with completion-driven done markers (see
+    FileQueueScheduler.shard)."""
+
+    def __init__(self, scheduler, items, key_fn):
+        self._scheduler = scheduler
+        self._items = items
+        self._key_fn = key_fn
+
+    def __iter__(self):
+        for item in self._items:
+            if self._scheduler.try_claim(self._key_fn(item)):
+                yield item
+
+    def mark_complete(self, item_or_key):
+        key = (item_or_key if isinstance(item_or_key, str)
+               else self._key_fn(item_or_key))
+        self._scheduler.mark_done(key)
