@@ -31,6 +31,13 @@ COMMON="database_path=$WORK/cache/chime5.json wpe=False bss_iterations=3 context
 python -m pb_chime5_tpu.scripts.run test_run -F "$WORK/sacred" \
     with session_id=S02 $COMMON
 
+# dereverb branch: the reference's default chain runs WPE (jenkins.bash
+# runs the full default config); exercise it end-to-end with small taps
+python -m pb_chime5_tpu.scripts.run test_run -F "$WORK/sacred" \
+    with session_id=S02 database_path="$WORK/cache/chime5.json" \
+    wpe=True wpe_tabs=2 wpe_iterations=1 bss_iterations=2 \
+    context_samples=8000 "length_buckets=(32000,64000)"
+
 python -m pb_chime5_tpu.scripts.kaldi_run test_run -F "$WORK/sacred" \
     with session_id=S02 storage_dir="$WORK/kaldi" job_id=1 \
     number_of_jobs=2 $COMMON
