@@ -66,7 +66,10 @@ def main():
     # (np.asarray), not block_until_ready — the experimental axon backend's
     # block_until_ready returns before execution completes.
     x, _ = gss_enhance(*args, **kwargs)
-    np.asarray(x)
+    xh = np.asarray(x)
+    # a bench on garbage is not a bench
+    assert np.isfinite(xh).all(), 'non-finite enhancement output'
+    assert np.abs(xh).max() > 0, 'silent enhancement output'
 
     reps = 3
     start = time.perf_counter()

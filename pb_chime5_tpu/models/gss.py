@@ -59,7 +59,9 @@ class GssConfig:
 
     bss_iterations: int = 20
     bss_iterations_post: int = 1
-    bss_inverse: str = 'cholesky'          # 'cholesky' | 'eigh'
+    # 'gauss_jordan' (matmul-only, the TPU-safe default) |
+    # 'cholesky' | 'schur' | 'eigh'
+    bss_inverse: str = 'gauss_jordan'
 
     bf: str = 'mvdrSouden_ban'  # 'mvdrSouden_ban' | 'mvdr_souden' | 'gev_ban'
     #                             | 'gev' | 'lcmv' | 'ch2' | 'sum'

@@ -8,9 +8,11 @@ reference wrapper (pb_chime5/speech_enhancement/beamforming_wrapper.py):
   selection,
 * blind analytic normalization (BAN) postgain,
 * GEV (max-SNR) beamformer — the reference calls a Cython/LAPACK
-  generalized-eig loop (`force_cython=True`, wrapper:79); here it is a
-  batched Cholesky-whitening + Hermitian eigh, which XLA runs batched over
-  all frequencies at once,
+  generalized-eig loop (`force_cython=True`, wrapper:79); here the dominant
+  generalized eigenvector of (Phi_X, Phi_N) is the dominant eigenvector of
+  Phi_N^{-1} Phi_X, computed batched over all frequencies by repeated
+  squaring — matmuls only, no eig custom call (which the axon TPU backend
+  cannot compile),
 * LCMV with a target and an interference constraint,
 * mask condensation over channels by median
   (`morph('DTF->FT', reduce=np.median)`, wrapper:27-34).
@@ -29,7 +31,8 @@ import jax.numpy as jnp
 # conditioning).
 _HIGHEST = jax.lax.Precision.HIGHEST
 
-from pb_chime5_tpu.ops.linalg import hermitize, stable_solve, eye_like
+from pb_chime5_tpu.ops.linalg import (
+    hermitize, eye_like, hermitian_solve, dominant_eigenvector)
 
 __all__ = [
     'condense_mask',
@@ -119,7 +122,10 @@ def mvdr_souden_vector(cov_x, cov_n, *, eps=1e-10, ref_channel=None,
     SNR-optimal global reference channel is selected (one index shared by
     all frequencies, like pb_bss).
     """
-    phi = stable_solve(cov_n, cov_x)
+    # Equilibrated Gauss-Jordan solve with an eps-relative diagonal load —
+    # matmul-only (no LU/SVD custom calls) and parity-preserving: the load
+    # is 64*eps(dtype), i.e. ~1e-14 relative in the float64 oracle tests.
+    phi = hermitian_solve(cov_n, cov_x)
     lam = jnp.trace(phi, axis1=-2, axis2=-1).real[..., None, None]
     mat = phi / jnp.maximum(lam, eps).astype(phi.dtype)
     if ref_channel is None:
@@ -133,32 +139,21 @@ def mvdr_souden_vector(cov_x, cov_n, *, eps=1e-10, ref_channel=None,
 
 def gev_vector(cov_x, cov_n, *, eps_scale=1e-10):
     """GEV / max-SNR beamformer: dominant generalized eigenvector of
-    (Phi_X, Phi_N), via Cholesky whitening + Hermitian eigh.
+    (Phi_X, Phi_N), i.e. the dominant eigenvector of Phi_N^{-1} Phi_X
+    (real non-negative spectrum), found by repeated squaring — batched
+    matmuls only, no eig/cholesky custom calls.
 
     Normalization matches a generalized-eig solver's B-orthonormal
-    convention: w^H Phi_N w = 1.
+    convention: w^H Phi_N w = 1; the per-frequency arbitrary phase is
+    fixed by rotating the first channel's coefficient real-positive.
     """
-    d = cov_x.shape[-1]
-    tr = jnp.trace(cov_n, axis1=-2, axis2=-1).real
-    jitter = jnp.maximum(tr / d, jnp.finfo(tr.dtype).tiny) * eps_scale
-    cov_n_reg = hermitize(cov_n) + jitter[..., None, None].astype(
-        cov_n.dtype) * eye_like(cov_n)
-    L = jnp.linalg.cholesky(cov_n_reg)
-    Linv = jax.scipy.linalg.solve_triangular(
-        L, eye_like(L), lower=True)
-    # Whitened target PSD: A = L^{-1} Phi_X L^{-H}
-    A = hermitize(jnp.matmul(
-        jnp.matmul(Linv, cov_x, precision=_HIGHEST),
-        Linv.conj().swapaxes(-2, -1), precision=_HIGHEST))
-    _, ev = jnp.linalg.eigh(A)
-    u = ev[..., -1]                                   # dominant eigvec
-    w = jnp.einsum('fed,fe->fd', Linv.conj(), u)      # w = L^{-H} u
-    # Fix the per-frequency arbitrary phase: rotate so the projection onto
-    # the first channel is real-positive (deterministic, like LAPACK's
-    # convention is in practice).
-    phase = jnp.exp(-1j * jnp.angle(
-        jnp.take(w, 0, axis=-1)))[..., None].astype(w.dtype)
-    return w * phase
+    phi = hermitian_solve(hermitize(cov_n), cov_x,
+                          relative_load=eps_scale)        # Phi_N^{-1} Phi_X
+    w = dominant_eigenvector(phi)
+    nquad = jnp.einsum('fd,fde,fe->f', w.conj(), cov_n, w,
+                       precision=_HIGHEST).real
+    scale = 1.0 / jnp.sqrt(jnp.maximum(nquad, jnp.finfo(nquad.dtype).tiny))
+    return w * scale[..., None].astype(w.dtype)
 
 
 def lcmv_vector(cov_x, cov_i, cov_n, *, eps=1e-10):
@@ -172,24 +167,16 @@ def lcmv_vector(cov_x, cov_i, cov_n, *, eps=1e-10):
     the reference wrapper (wrapper:127-171); the constraint directions are
     estimated from the mask PSDs.
     """
-    def principal(cov):
-        _, ev = jnp.linalg.eigh(hermitize(cov))
-        return ev[..., -1]
-
-    a_x = principal(cov_x)
-    a_i = principal(cov_i)
+    a_x = dominant_eigenvector(hermitize(cov_x))
+    a_i = dominant_eigenvector(hermitize(cov_i))
     C = jnp.stack([a_x, a_i], axis=-1)                    # (F, D, 2)
-    d = cov_n.shape[-1]
-    tr = jnp.trace(cov_n, axis1=-2, axis2=-1).real
-    jitter = jnp.maximum(tr / d, jnp.finfo(tr.dtype).tiny) * eps
-    cov_n_reg = hermitize(cov_n) + jitter[..., None, None].astype(
-        cov_n.dtype) * eye_like(cov_n)
-    ninv_c = stable_solve(cov_n_reg, C)                   # (F, D, 2)
+    ninv_c = hermitian_solve(hermitize(cov_n), C,
+                             relative_load=eps)           # (F, D, 2)
     gram = jnp.matmul(C.conj().swapaxes(-2, -1), ninv_c,
                       precision=_HIGHEST)                 # (F, 2, 2)
     g = jnp.zeros((*gram.shape[:-2], 2, 1), dtype=gram.dtype)
     g = g.at[..., 0, 0].set(1.0)
-    coef = stable_solve(gram, g)                          # (F, 2, 1)
+    coef = hermitian_solve(hermitize(gram), g)            # (F, 2, 1)
     return jnp.matmul(ninv_c, coef, precision=_HIGHEST)[..., 0]
 
 

@@ -40,7 +40,8 @@ import functools
 import jax
 import jax.numpy as jnp
 
-from pb_chime5_tpu.ops.linalg import hermitize, schur_inverse_and_logdet
+from pb_chime5_tpu.ops.linalg import (
+    hermitize, schur_inverse_and_logdet, gauss_jordan_inverse_and_logdet)
 
 # float32 MXU precision for scatter matrices and quadratic forms (the
 # TPU's default bf16 matmul inputs break the EM's conditioning).
@@ -56,9 +57,11 @@ class CacgmmConfig:
     """Static EM configuration (hashable -> usable as a jit static arg)."""
     iterations: int = 20
     iterations_post: int = 1
-    inverse: str = 'cholesky'        # 'cholesky' | 'schur' | 'eigh'
+    # 'gauss_jordan' (default: matmul/elementwise-only, required on
+    # backends without linalg custom calls) | 'cholesky' | 'schur' | 'eigh'
+    inverse: str = 'gauss_jordan'
     eigenvalue_floor: float = 1e-10  # used by the 'eigh' inverse
-    diagonal_floor: float = 1e-6     # used by 'cholesky' / 'schur'
+    diagonal_floor: float = 1e-6     # 'gauss_jordan' / 'cholesky' / 'schur'
 
 
 def make_initialization(activity, dtype=jnp.float32):
@@ -146,6 +149,19 @@ def _invert(cov, config):
         cov = cov + jitter[..., None, None].astype(cov.dtype) \
             * jnp.eye(D, dtype=cov.dtype)
         return schur_inverse_and_logdet(cov)
+    elif config.inverse == 'gauss_jordan':
+        # Default: trace-scaled diagonal jitter (same conditioning as the
+        # 'cholesky' mode), then a batched unpivoted Gauss-Jordan inverse.
+        # Two reasons over XLA's cholesky+triangular-solve custom calls:
+        # the axon TPU backend compiles no linalg custom calls at all, and
+        # the D fused rank-1 pivot steps vectorize across the full
+        # (F, K) batch where the factorizations serialize (measured faster
+        # on-chip; see docs/ARCHITECTURE.md performance ledger).
+        tr = jnp.trace(cov, axis1=-2, axis2=-1).real
+        jitter = jnp.maximum(config.diagonal_floor * tr / D, tiny)
+        cov = cov + jitter[..., None, None].astype(cov.dtype) \
+            * jnp.eye(D, dtype=cov.dtype)
+        return gauss_jordan_inverse_and_logdet(cov)
     elif config.inverse == 'cholesky':
         # Fast path: trace-scaled diagonal jitter, Cholesky inverse.
         tr = jnp.trace(cov, axis1=-2, axis2=-1).real

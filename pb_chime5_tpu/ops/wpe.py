@@ -34,7 +34,8 @@ import jax.numpy as jnp
 # correlation matrices (Cholesky fails / NaNs at D=24, taps=10).
 _HIGHEST = jax.lax.Precision.HIGHEST
 
-from pb_chime5_tpu.ops.linalg import hermitize, stable_solve
+from pb_chime5_tpu.ops.linalg import (
+    hermitize, hermitian_solve, stable_solve)
 
 __all__ = ['wpe', 'build_y_tilde', 'get_power_inverse']
 
@@ -85,7 +86,7 @@ def _wpe_iteration(Y, Y_tilde, inv_power, regularization):
     """One WPE filter update.  Y (F, D, T), Y_tilde (F, taps*D, T),
     inv_power (F, T) -> dereverberated X (F, D, T).
 
-    ``regularization`` selects an equilibrated, diagonally-loaded Cholesky
+    ``regularization`` selects an equilibrated, diagonally-loaded Hermitian
     solve.  The reference (nara_wpe + stable_solve) runs float64 where the
     unregularized LU solve is adequate; in float32 on TPU the
     taps*D-dimensional R is routinely ill-conditioned enough that the plain
@@ -107,18 +108,16 @@ def _wpe_iteration(Y, Y_tilde, inv_power, regularization):
 
 
 def _solve_G(R, P, regularization, rdtype):
-    """R G = P via equilibrated loaded Cholesky (see _wpe_iteration)."""
+    """R G = P, equilibrated + diagonally loaded (see _wpe_iteration).
+
+    The regularized path uses ``hermitian_solve`` (unpivoted Gauss-Jordan
+    for small taps*D, recursive Schur-complement inverse on the MXU for
+    large) — matmul/elementwise only, identical equilibration + loading to
+    the previous Cholesky formulation, but with no linalg custom calls
+    (which the axon TPU backend cannot compile at all).
+    """
     if regularization:
-        dim = R.shape[-1]
-        diag = jnp.diagonal(R, axis1=-2, axis2=-1).real
-        d = jnp.sqrt(jnp.maximum(diag, jnp.finfo(rdtype).tiny))
-        dinv = (1.0 / d).astype(R.dtype)
-        Rs = R * dinv[..., :, None] * dinv[..., None, :]
-        Rs = Rs + jnp.asarray(regularization, R.dtype) * jnp.eye(
-            R.shape[-1], dtype=R.dtype)
-        L = jnp.linalg.cholesky(Rs)
-        G = jax.scipy.linalg.cho_solve((L, True), P * dinv[..., :, None])
-        return G * dinv[..., :, None]
+        return hermitian_solve(R, P, relative_load=regularization)
     return stable_solve(R, P)
 
 
