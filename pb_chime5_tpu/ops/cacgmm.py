@@ -62,6 +62,14 @@ class CacgmmConfig:
     inverse: str = 'gauss_jordan'
     eigenvalue_floor: float = 1e-10  # used by the 'eigh' inverse
     diagonal_floor: float = 1e-6     # 'gauss_jordan' / 'cholesky' / 'schur'
+    # T-chunked fused E+M accumulation (lax.scan): the (K, T, D)
+    # quadratic-form intermediates are never materialized in HBM — per
+    # chunk they live in VMEM and only the (K, D, D) scatter accumulators
+    # survive.  None = unfused (materializes ~1.2 GB of intermediates per
+    # EM iteration for the 24-channel headline config).  The M-step
+    # denominator division is algebraically deferred to after the scan,
+    # so results match the unfused path to float rounding.
+    em_chunk_size: int = None
 
 
 def make_initialization(activity, dtype=jnp.float32):
@@ -214,6 +222,71 @@ def _e_step(z, params, source_activity_mask):
     return gamma, quadratic_form
 
 
+def _fused_em_iteration(z, params, source_activity_mask, frame_mask,
+                        config: CacgmmConfig):
+    """One (E, M) iteration as a T-chunked ``lax.scan``: per chunk the
+    quadratic forms and responsibilities live in VMEM and only the
+    (K, D, D) scatter + (K,) affiliation-mass accumulators survive — the
+    unfused path writes ~1.2 GB of (K, T, D) intermediates to HBM per
+    iteration for the headline config (measured as the dominant EM cost).
+
+    Algebraic identity with the unfused path: the M-step's 1/denom_k
+    factor is constant over t, so it is pulled out of the scatter sum and
+    applied once after the scan.
+    """
+    log_weight, precision, logdet = params
+    rdtype = logdet.dtype
+    tiny = jnp.finfo(rdtype).tiny
+    T, D = z.shape
+    K = log_weight.shape[0]
+    chunk = config.em_chunk_size
+    pad = (-T) % chunk
+    zp = jnp.pad(z, ((0, pad), (0, 0)))
+    fm = frame_mask if frame_mask is not None \
+        else jnp.ones((T,), bool)
+    fmp = jnp.pad(fm, (0, pad))              # padding frames excluded
+    nc = (T + pad) // chunk
+    xs = [zp.reshape(nc, chunk, D), fmp.reshape(nc, chunk)]
+    if source_activity_mask is not None:
+        xs.append(jnp.pad(source_activity_mask.astype(bool),
+                          ((0, 0), (0, pad)), constant_values=True)
+                  .reshape(K, nc, chunk).swapaxes(0, 1))
+
+    def body(carry, inputs):
+        S, denom = carry
+        zc, fmc = inputs[:2]
+        # E-step on the chunk (same math as _e_step)
+        vz = jnp.einsum('kde,te->ktd', precision, zc,
+                        precision=_HIGHEST)
+        q = jnp.maximum(jnp.einsum('ktd,td->kt', vz, zc.conj(),
+                                   precision=_HIGHEST).real, tiny)
+        log_pdf = log_weight[:, None] - D * jnp.log(q) - logdet[:, None]
+        log_pdf = log_pdf - jnp.max(log_pdf, axis=0, keepdims=True)
+        gamma = jnp.exp(log_pdf).astype(rdtype)
+        if len(inputs) > 2:
+            gamma = gamma * inputs[2].astype(rdtype)
+        gamma = gamma / jnp.maximum(
+            jnp.sum(gamma, axis=0, keepdims=True), tiny)
+        gamma = gamma * fmc[None, :].astype(rdtype)
+        # M-step accumulation (denominator division deferred)
+        denom = denom + jnp.sum(gamma, axis=-1)
+        coeff = gamma / q
+        weighted = zc[None, :, :] * coeff[:, :, None].astype(zc.dtype)
+        S = S + jnp.einsum('ktd,te->kde', weighted, zc.conj(),
+                           precision=_HIGHEST)
+        return (S, denom), None
+
+    init = (jnp.zeros((K, D, D), z.dtype), jnp.zeros((K,), rdtype))
+    (S, denom), _ = jax.lax.scan(body, init, tuple(xs))
+
+    weight = denom / jnp.maximum(jnp.sum(denom), tiny)
+    log_weight = jnp.log(jnp.maximum(weight, tiny))
+    cov = hermitize(
+        S * (D / jnp.maximum(denom, tiny))[:, None, None].astype(z.dtype))
+    precision, logdet = _invert(cov, config)
+    return log_weight, precision, logdet.astype(rdtype)
+
+
 def _cacgmm_single_frequency(y, initialization, source_activity_mask,
                              frame_mask, config: CacgmmConfig):
     """Full EM for one frequency bin.  y (T, D) -> posterior (K, T)."""
@@ -226,6 +299,24 @@ def _cacgmm_single_frequency(y, initialization, source_activity_mask,
     # like the reference fit loop: the source-activity mask only enters the
     # E-step (pb_bss _predict semantics).
     params = _m_step(z, gamma, quadratic_form, frame_mask, config)
+
+    if config.em_chunk_size:
+        # fused chunked (E, M) iterations — identical math, HBM-light
+        params = jax.lax.fori_loop(
+            0, config.iterations - 1,
+            lambda _, p: _fused_em_iteration(
+                z, p, source_activity_mask, frame_mask, config),
+            params)
+        if config.iterations_post == 0:
+            posterior, _ = _e_step(z, params, source_activity_mask)
+        else:
+            params = jax.lax.fori_loop(
+                0, config.iterations_post - 1,
+                lambda _, p: _fused_em_iteration(
+                    z, p, None, frame_mask, config),
+                params)
+            posterior, _ = _e_step(z, params, None)
+        return posterior
 
     def fit_body(_, carry):
         gamma, quadratic_form, params = carry
