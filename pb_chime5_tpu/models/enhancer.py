@@ -482,6 +482,7 @@ def get_enhancer(
 
     length_buckets=DEFAULT_LENGTH_BUCKETS,
     compute_dtype=np.float32,
+    compile_mode='fused',
 ):
     """Factory with the reference's exact keyword surface
     (pb_chime5/core.py:574-637; the sacred CLI auto-derives its config
@@ -515,6 +516,7 @@ def get_enhancer(
             bss_iterations_post=bss_iterations_post,
             bf=bf,
             postfilter=postfilter,
+            compile_mode=compile_mode,
         ),
         bf_drop_context=bf_drop_context,
         context_samples=context_samples,

@@ -30,7 +30,7 @@ from pb_chime5_tpu.ops.wpe import wpe
 from pb_chime5_tpu.ops.cacgmm import cacgmm_posteriors, CacgmmConfig
 from pb_chime5_tpu.ops import beamform as bf
 
-__all__ = ['GssConfig', 'gss_enhance', 'GssPipeline']
+__all__ = ['GssConfig', 'gss_enhance', 'gss_enhance_split', 'GssPipeline']
 
 
 @dataclasses.dataclass(frozen=True)
@@ -66,6 +66,15 @@ class GssConfig:
     bf: str = 'mvdrSouden_ban'  # 'mvdrSouden_ban' | 'mvdr_souden' | 'gev_ban'
     #                             | 'gev' | 'lcmv' | 'ch2' | 'sum'
     postfilter: str = None                 # None | 'mask_mul'
+
+    # 'fused': the whole chain is ONE XLA program (fastest steady-state
+    # dispatch).  'fast_start': three programs split at the stage
+    # boundaries (stft+wpe | EM | beamform+istft) whose compilations are
+    # smaller AND can be warmed concurrently (GssPipeline.warmup) —
+    # for fresh machines where the fused program's cold compile
+    # dominates first-utterance latency.  Intermediates stay on-device
+    # (complex never crosses to the host).
+    compile_mode: str = 'fused'
 
     @property
     def cacgmm_config(self):
@@ -114,45 +123,34 @@ def _beamform(Obs_fdt, target_mask_kt, distortion_mask_kt, config,
     return bf.apply_beamforming_vector(w, Obs_fdt)
 
 
-def enhance_spectrogram(
+def _wpe_stage(Obs_fdt, config: GssConfig, frame_mask):
+    if not config.wpe:
+        return Obs_fdt
+    return wpe(
         Obs_fdt,
-        activity_freq,
-        target_index,
-        *,
-        config: GssConfig,
-        start_context_frames=0,
-        end_context_frames=0,
-        frame_mask=None,
-        snr_reduce=None,
-):
-    """The frequency-domain middle of the pipeline: WPE -> EM -> context
-    drop -> beamformer.  Every step is per-frequency independent except
-    the MVDR reference-channel statistic (see ``snr_reduce``), so this
-    function can run on an arbitrary *shard* of the frequency axis.
+        taps=config.wpe_taps,
+        delay=config.wpe_delay,
+        iterations=config.wpe_iterations,
+        psd_context=config.wpe_psd_context,
+        regularization=config.wpe_regularization,
+        chunk_size=config.wpe_chunk_size,
+        frame_mask=frame_mask,
+    )
 
-    Obs_fdt (F, D, T) complex, activity_freq (K, T) ->
-    (X_hat (F, T) complex, masks (F, K, T)).
-    """
-    F, D, T = Obs_fdt.shape
-    if config.wpe:
-        Obs_fdt = wpe(
-            Obs_fdt,
-            taps=config.wpe_taps,
-            delay=config.wpe_delay,
-            iterations=config.wpe_iterations,
-            psd_context=config.wpe_psd_context,
-            regularization=config.wpe_regularization,
-            chunk_size=config.wpe_chunk_size,
-            frame_mask=frame_mask,
-        )
 
-    masks = cacgmm_posteriors(
+def _em_stage(Obs_fdt, activity_freq, config: GssConfig, frame_mask):
+    return cacgmm_posteriors(
         jnp.transpose(Obs_fdt, (0, 2, 1)),                 # (F, T, D)
         activity_freq,
         config=config.cacgmm_config,
         frame_mask=frame_mask,
     )                                                      # (F, K, T)
 
+
+def _bf_stage(Obs_fdt, masks, target_index, config: GssConfig,
+              start_context_frames, end_context_frames, frame_mask,
+              snr_reduce=None):
+    F, D, T = Obs_fdt.shape
     frame_idx = jnp.arange(T)
     keep = (frame_idx >= start_context_frames) & \
            (frame_idx < T - end_context_frames)
@@ -175,6 +173,32 @@ def enhance_spectrogram(
     elif config.postfilter is not None:
         raise NotImplementedError(config.postfilter)
     return X_hat, masks
+
+
+def enhance_spectrogram(
+        Obs_fdt,
+        activity_freq,
+        target_index,
+        *,
+        config: GssConfig,
+        start_context_frames=0,
+        end_context_frames=0,
+        frame_mask=None,
+        snr_reduce=None,
+):
+    """The frequency-domain middle of the pipeline: WPE -> EM -> context
+    drop -> beamformer.  Every step is per-frequency independent except
+    the MVDR reference-channel statistic (see ``snr_reduce``), so this
+    function can run on an arbitrary *shard* of the frequency axis.
+
+    Obs_fdt (F, D, T) complex, activity_freq (K, T) ->
+    (X_hat (F, T) complex, masks (F, K, T)).
+    """
+    Obs_fdt = _wpe_stage(Obs_fdt, config, frame_mask)
+    masks = _em_stage(Obs_fdt, activity_freq, config, frame_mask)
+    return _bf_stage(Obs_fdt, masks, target_index, config,
+                     start_context_frames, end_context_frames, frame_mask,
+                     snr_reduce=snr_reduce)
 
 
 @functools.partial(
@@ -216,6 +240,22 @@ def gss_enhance(
       ``start_context : start_context + num_samples_orig``
       (reference core.py:500-505).
     """
+    Obs, frame_mask, N = _stft_and_mask(obs, num_valid_samples, config)
+    Obs = _wpe_stage(Obs, config, frame_mask)
+    masks = _em_stage(Obs, activity_freq, config, frame_mask)
+    X_hat, masks = _bf_stage(
+        Obs, masks, target_index, config,
+        start_context_frames, end_context_frames, frame_mask)
+    x_hat = istft(
+        X_hat.T, config.stft_size, config.stft_shift,
+        fading=config.stft_fading,
+        num_samples=num_output_samples if num_output_samples is not None
+        else N,
+    )
+    return x_hat, jnp.transpose(masks, (1, 2, 0))              # (K, T, F)
+
+
+def _stft_and_mask(obs, num_valid_samples, config):
     obs = jnp.asarray(obs)
     if obs.dtype == jnp.int16:
         # raw PCM path: ship int16 over the host->device link (half the
@@ -224,37 +264,73 @@ def gss_enhance(
         obs = obs.astype(jnp.float32) * jnp.float32(2.0 ** -15)
     D, N = obs.shape
     size, shift = config.stft_size, config.stft_shift
-
     Obs = stft(obs, size, shift, fading=config.stft_fading)   # (D, T, F)
     T = Obs.shape[-2]
-    F = Obs.shape[-1]
     Obs = jnp.transpose(Obs, (2, 0, 1))                        # (F, D, T)
-
-    frame_idx = jnp.arange(T)
     if num_valid_samples is not None:
         pad_extra = 2 * (size - shift) if config.stft_fading else 0
         # integer ceil division, same arithmetic as samples_to_stft_frames
         t_valid = (num_valid_samples + pad_extra - size + 2 * shift - 1) \
             // shift
         t_valid = jnp.maximum(t_valid, 1).astype(jnp.int32)
-        frame_mask = frame_idx < t_valid
+        frame_mask = jnp.arange(T) < t_valid
     else:
         frame_mask = None
+    return Obs, frame_mask, N
 
-    X_hat, masks = enhance_spectrogram(
-        Obs, activity_freq, target_index,
-        config=config,
-        start_context_frames=start_context_frames,
-        end_context_frames=end_context_frames,
-        frame_mask=frame_mask,
-    )
 
+# --------------------------------------------------------------------------
+# fast_start mode: the same chain as THREE programs split at the stage
+# boundaries.  Complex intermediates stay device-resident (the axon
+# backend cannot move complex across the host boundary); semantics are
+# identical to the fused program.
+# --------------------------------------------------------------------------
+
+@functools.partial(jax.jit, static_argnames=('config',))
+def _gss_front(obs, num_valid_samples, *, config):
+    Obs, frame_mask, _ = _stft_and_mask(obs, num_valid_samples, config)
+    return _wpe_stage(Obs, config, frame_mask), frame_mask
+
+
+@functools.partial(jax.jit, static_argnames=('config',))
+def _gss_em(Obs_fdt, activity_freq, frame_mask, *, config):
+    return _em_stage(Obs_fdt, activity_freq, config, frame_mask)
+
+
+@functools.partial(
+    jax.jit, static_argnames=('config', 'num_output_samples'))
+def _gss_back(Obs_fdt, masks, target_index, start_context_frames,
+              end_context_frames, frame_mask, *, config,
+              num_output_samples):
+    X_hat, masks = _bf_stage(
+        Obs_fdt, masks, target_index, config,
+        start_context_frames, end_context_frames, frame_mask)
     x_hat = istft(
-        X_hat.T, size, shift, fading=config.stft_fading,
-        num_samples=num_output_samples if num_output_samples is not None
-        else N,
-    )
-    return x_hat, jnp.transpose(masks, (1, 2, 0))              # (K, T, F)
+        X_hat.T, config.stft_size, config.stft_shift,
+        fading=config.stft_fading, num_samples=num_output_samples)
+    return x_hat, jnp.transpose(masks, (1, 2, 0))
+
+
+def gss_enhance_split(
+        obs,
+        activity_freq,
+        target_index,
+        *,
+        config: GssConfig = GssConfig(),
+        start_context_frames=0,
+        end_context_frames=0,
+        num_valid_samples=None,
+        num_output_samples: int = None,
+):
+    """Same contract as :func:`gss_enhance`, executed as three programs
+    (see ``GssConfig.compile_mode='fast_start'``)."""
+    if num_output_samples is None:
+        num_output_samples = int(np.shape(obs)[-1])
+    Obs, frame_mask = _gss_front(obs, num_valid_samples, config=config)
+    masks = _gss_em(Obs, activity_freq, frame_mask, config=config)
+    return _gss_back(Obs, masks, target_index, start_context_frames,
+                     end_context_frames, frame_mask, config=config,
+                     num_output_samples=num_output_samples)
 
 
 def enable_persistent_compilation_cache():
@@ -337,7 +413,10 @@ class GssPipeline:
         act = np.zeros((activity_freq.shape[0], T_pad), np.int8)
         act[:, :activity_freq.shape[1]] = np.asarray(activity_freq,
                                                      np.int8)[:, :T_pad]
-        x_hat, masks = gss_enhance(
+        enhance = (gss_enhance_split
+                   if self.config.compile_mode == 'fast_start'
+                   else gss_enhance)
+        x_hat, masks = enhance(
             padded, act, jnp.int32(target_index),
             config=self.config,
             start_context_frames=jnp.int32(start_context_frames),
@@ -346,6 +425,65 @@ class GssPipeline:
             num_output_samples=N_pad,
         )
         return x_hat, masks, N
+
+    def warmup(self, num_channels, num_classes, *, dtype=None,
+               lengths=None, parallel=True):
+        """Ahead-of-time compile the enhancement programs for every
+        length bucket.
+
+        In ``compile_mode='fast_start'`` the three stage programs are
+        lowered and compiled CONCURRENTLY on a thread pool (XLA releases
+        the GIL), cutting fresh-machine first-utterance latency well
+        below the fused program's single cold compile.
+        """
+        import concurrent.futures
+
+        dtype = np.dtype(dtype if dtype is not None else self.dtype)
+        lengths = sorted({self.bucket_length(n) for n in (
+            lengths if lengths is not None else self.length_buckets or ())})
+        config = self.config
+        i32 = jax.ShapeDtypeStruct((), jnp.int32)
+        jobs = []
+        for N_pad in lengths:
+            T_pad = self.frame_count(N_pad)
+            F = config.stft_size // 2 + 1
+            obs_s = jax.ShapeDtypeStruct((num_channels, N_pad), dtype)
+            act_s = jax.ShapeDtypeStruct((num_classes, T_pad), jnp.int8)
+            if config.compile_mode == 'fast_start':
+                cdtype = jnp.complex64 if dtype != np.float64 \
+                    else jnp.complex128
+                obs_f = jax.ShapeDtypeStruct(
+                    (F, num_channels, T_pad), cdtype)
+                fm_s = jax.ShapeDtypeStruct((T_pad,), jnp.bool_)
+                masks_s = jax.ShapeDtypeStruct(
+                    (F, num_classes, T_pad),
+                    jnp.float32 if dtype != np.float64 else jnp.float64)
+                jobs += [
+                    lambda o=obs_s, c=config: _gss_front.lower(
+                        o, i32, config=c).compile(),
+                    lambda o=obs_f, a=act_s, f=fm_s, c=config:
+                        _gss_em.lower(o, a, f, config=c).compile(),
+                    lambda o=obs_f, m=masks_s, f=fm_s, c=config, n=N_pad:
+                        _gss_back.lower(
+                            o, m, i32, i32, i32, f, config=c,
+                            num_output_samples=n).compile(),
+                ]
+            else:
+                jobs.append(
+                    lambda o=obs_s, a=act_s, c=config, n=N_pad:
+                        gss_enhance.lower(
+                            o, a, i32, config=c,
+                            start_context_frames=i32,
+                            end_context_frames=i32,
+                            num_valid_samples=i32,
+                            num_output_samples=n).compile())
+        if parallel:
+            with concurrent.futures.ThreadPoolExecutor(
+                    max_workers=max(1, len(jobs))) as pool:
+                list(pool.map(lambda j: j(), jobs))
+        else:
+            for j in jobs:
+                j()
 
     @staticmethod
     def gather(handle, return_masks=False):

@@ -179,3 +179,34 @@ def test_ch2_and_sum_beamformers(rng):
         x, _ = gss_enhance(jnp.asarray(obs), jnp.asarray(act_f, jnp.int8),
                            jnp.int32(0), config=config)
         assert np.all(np.isfinite(np.asarray(x)))
+
+
+def test_split_mode_matches_fused(rng):
+    """compile_mode='fast_start' (three stage programs, complex staying
+    on device) must match the fused program exactly."""
+    from pb_chime5_tpu.models.gss import gss_enhance_split
+    config = GssConfig(wpe=True, bss_iterations=5)
+    obs, activity, _ = make_scene(rng)
+    act_f = activity_to_freq(activity, config).astype(np.int8)
+    N = obs.shape[-1]
+    kw = dict(config=config, start_context_frames=jnp.int32(3),
+              end_context_frames=jnp.int32(3),
+              num_valid_samples=jnp.int32(N), num_output_samples=N)
+    a, am = gss_enhance(jnp.asarray(obs), jnp.asarray(act_f),
+                        jnp.int32(0), **kw)
+    b, bm = gss_enhance_split(jnp.asarray(obs), jnp.asarray(act_f),
+                              jnp.int32(0), **kw)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    np.testing.assert_array_equal(np.asarray(am), np.asarray(bm))
+
+
+def test_pipeline_warmup_both_modes():
+    """GssPipeline.warmup AOT-compiles every bucket (parallel thread pool
+    in fast_start mode) without executing anything."""
+    from pb_chime5_tpu.models.gss import GssPipeline
+    for mode in ('fused', 'fast_start'):
+        pipe = GssPipeline(
+            GssConfig(wpe=True, wpe_taps=2, bss_iterations=2,
+                      compile_mode=mode),
+            length_buckets=(8000, 16000))
+        pipe.warmup(3, 2)
