@@ -167,6 +167,7 @@ class Enhancer:
             progress=None,
             resume=False,
             on_error='raise',
+            write_ahead=4,
     ):
         """Enhance all utterances of the given session(s) into
         ``audio_dir/<dataset>/<example_id>.wav``.
@@ -181,6 +182,12 @@ class Enhancer:
         SURVEY.md section 5).  ``on_error``: 'raise' (default) or 'skip'
         (log the failing example id and continue — per-utterance fault
         tolerance for long production runs).
+
+        ``write_ahead`` bounds the result backlog: device->host downloads
+        and WAV writes run on a writer thread, so the main thread only
+        loads (prefetch thread) and dispatches — up to ``write_ahead``
+        utterances are in flight on the device while earlier results
+        drain.  The reference is fully synchronous here (core.py:381-392).
         """
         audio_dir = Path(audio_dir)
         it = self.get_iterator(session_ids)
@@ -243,19 +250,20 @@ class Enhancer:
         prepare = self._prepare_example
 
         prefetch = 2
-        with concurrent.futures.ThreadPoolExecutor(1) as pool:
+        with concurrent.futures.ThreadPoolExecutor(1) as pool, \
+                concurrent.futures.ThreadPoolExecutor(1) as writer:
             window = collections.deque()
+            pending = collections.deque()   # (example_id, writer future)
             todo_iter = iter(todo)
             for ex in todo_iter:
                 window.append((ex, pool.submit(prepare, ex)))
                 if len(window) >= prefetch:
                     break
-            # depth-1 device pipeline: dispatch utterance n+1 (upload +
-            # compute are async in jax) before gathering utterance n
-            inflight = None   # (example_id, session_id, handle, trim)
 
-            def finish(entry):
-                example_id, session_id, handle, trim = entry
+            def finish(example_id, session_id, handle, trim):
+                # runs on the writer thread: blocks on the device result
+                # (the main thread keeps loading + dispatching meanwhile),
+                # writes the WAV, then signals durable completion
                 x_hat = self._finish_dispatched(handle, trim)
                 assert x_hat.ndim == 1, x_hat.shape
                 dataset = mapping.session_to_dataset[session_id]
@@ -265,6 +273,17 @@ class Enhancer:
                     mark_complete(example_id)
                 if progress is not None:
                     progress(example_id)
+
+            def drain(example_id, future):
+                try:
+                    future.result()
+                except Exception:
+                    print('ERROR: Failed example:', example_id)
+                    if on_error == 'raise':
+                        raise
+                    assert on_error == 'skip', on_error
+                    import traceback
+                    traceback.print_exc()
 
             while window:
                 ex, future = window.popleft()
@@ -276,11 +295,6 @@ class Enhancer:
                     reference_array, obs = future.result()
                     handle, trim = self._dispatch_loaded(
                         ex, reference_array, obs)
-                    prev, inflight = inflight, (
-                        example_id, ex['session_id'], handle, trim)
-                    if prev is not None:
-                        example_id = prev[0]   # for error reporting
-                        finish(prev)
                 except Exception:
                     print('ERROR: Failed example:', example_id)
                     if on_error == 'raise':
@@ -289,16 +303,12 @@ class Enhancer:
                     import traceback
                     traceback.print_exc()
                     continue
-            if inflight is not None:
-                try:
-                    finish(inflight)
-                except Exception:
-                    print('ERROR: Failed example:', inflight[0])
-                    if on_error == 'raise':
-                        raise
-                    assert on_error == 'skip', on_error
-                    import traceback
-                    traceback.print_exc()
+                pending.append((example_id, writer.submit(
+                    finish, example_id, ex['session_id'], handle, trim)))
+                while len(pending) > write_ahead:
+                    drain(*pending.popleft())
+            while pending:
+                drain(*pending.popleft())
 
     # ------------------------------------------------------------------
 
