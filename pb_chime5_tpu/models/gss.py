@@ -59,6 +59,9 @@ class GssConfig:
 
     bss_iterations: int = 20
     bss_iterations_post: int = 1
+    # EM execution backend: 'auto' = fused Pallas kernel on TPU, XLA
+    # einsums elsewhere (see CacgmmConfig.em_backend)
+    bss_em_backend: str = 'auto'
     # 'gauss_jordan' (matmul-only, the TPU-safe default) |
     # 'cholesky' | 'schur' | 'eigh'
     bss_inverse: str = 'gauss_jordan'
@@ -82,6 +85,7 @@ class GssConfig:
             iterations=self.bss_iterations,
             iterations_post=self.bss_iterations_post,
             inverse=self.bss_inverse,
+            em_backend=self.bss_em_backend,
         )
 
 

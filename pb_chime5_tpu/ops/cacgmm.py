@@ -70,6 +70,10 @@ class CacgmmConfig:
     # denominator division is algebraically deferred to after the scan,
     # so results match the unfused path to float rounding.
     em_chunk_size: int = None
+    # 'auto' (fused E+M Pallas kernel on TPU — 20% faster, see
+    # ops/pallas/fused_em.py — and batched XLA einsums elsewhere) |
+    # 'xla' | 'pallas' (forced; interpret mode off-TPU)
+    em_backend: str = 'auto'
 
 
 def make_initialization(activity, dtype=jnp.float32):
@@ -344,10 +348,69 @@ def _cacgmm_single_frequency(y, initialization, source_activity_mask,
     return posterior
 
 
+def _cacgmm_posteriors_pallas(Y, initialization, source_activity_mask,
+                              frame_mask, config: CacgmmConfig):
+    """Full-F driver around the fused Pallas E+M kernel (the kernel owns
+    the F axis in its grid, so no vmap here; the per-iteration covariance
+    inverse stays in XLA, batched over (F, K))."""
+    from pb_chime5_tpu.ops.pallas.fused_em import (
+        fused_em_scatter_prepared, prepare_em_inputs)
+
+    z = _normalize_observations(Y)                       # (F, T, D)
+    F, T, D = z.shape
+    K = initialization.shape[0]
+    rdtype = jnp.float32
+    tiny = jnp.finfo(rdtype).tiny
+
+    params = jax.vmap(
+        lambda zf: _m_step(zf, initialization.astype(rdtype),
+                           jnp.ones_like(initialization, rdtype),
+                           frame_mask, config))(z)
+
+    # padded [zr|zi] planes + masks are loop constants — build them once
+    z2m, act_m, fm2 = prepare_em_inputs(
+        z, source_activity_mask, frame_mask, K)
+    _, act_1, _ = prepare_em_inputs(z, None, frame_mask, K)
+
+    def iteration(params, act):
+        S, denom = fused_em_scatter_prepared(z2m, act, fm2, params, D=D)
+        weight = denom / jnp.maximum(
+            jnp.sum(denom, axis=-1, keepdims=True), tiny)
+        log_weight = jnp.log(jnp.maximum(weight, tiny))
+        cov = hermitize(
+            S * (D / jnp.maximum(denom, tiny))[..., None, None]
+            .astype(S.dtype))
+        precision, logdet = _invert(cov, config)
+        return log_weight, precision, logdet.astype(rdtype)
+
+    params = jax.lax.fori_loop(
+        0, config.iterations - 1,
+        lambda _, p: iteration(p, act_m), params)
+
+    def final_e(mask):
+        return jax.vmap(lambda zf, lw, pr, ld: _e_step(
+            zf, (lw, pr.astype(zf.dtype), ld.astype(zf.real.dtype)),
+            mask)[0])(z, *params)
+
+    if config.iterations_post == 0:
+        return final_e(source_activity_mask)
+    params = jax.lax.fori_loop(
+        0, config.iterations_post - 1,
+        lambda _, p: iteration(p, act_1), params)
+    return final_e(None)
+
+
 @functools.partial(jax.jit, static_argnames=('config', 'has_frame_mask'))
 def _cacgmm_posteriors_impl(Y, initialization, source_activity_mask,
                             frame_mask, config, has_frame_mask):
     fm = frame_mask if has_frame_mask else None
+    backend = config.em_backend
+    if backend == 'auto':
+        backend = ('pallas' if jax.default_backend() == 'tpu' else 'xla')
+    if backend == 'pallas':
+        return _cacgmm_posteriors_pallas(
+            Y, initialization, source_activity_mask, fm, config)
+    assert backend == 'xla', backend
     fn = lambda y: _cacgmm_single_frequency(
         y, initialization, source_activity_mask, fm, config)
     return jax.vmap(fn)(Y)

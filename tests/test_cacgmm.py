@@ -147,3 +147,28 @@ def test_float32_stable(rng):
     assert post.dtype == np.float32
     assert np.all(np.isfinite(post))
     np.testing.assert_allclose(post.sum(axis=1), 1.0, atol=1e-3)
+
+
+def test_pallas_em_backend_matches_xla(rng):
+    """The fused Pallas E+M kernel (interpret mode off-TPU) must track the
+    XLA path.  Both run float32 here (the kernel accumulates in float32);
+    a few iterations keep EM's chaotic amplification of rounding bounded.
+    """
+    F, T, D, K = 16, 300, 4, 3
+    Y = (rng.standard_normal((F, T, D))
+         + 1j * rng.standard_normal((F, T, D))).astype(np.complex64)
+    act = rng.random((K, T)) > 0.3
+    act[-1] = True
+    fm = np.arange(T) < 280
+    for fmv in (None, fm):
+        ref = np.asarray(cacgmm_posteriors(
+            jnp.asarray(Y), jnp.asarray(act),
+            config=CacgmmConfig(iterations=4, iterations_post=1),
+            frame_mask=fmv))
+        got = np.asarray(cacgmm_posteriors(
+            jnp.asarray(Y), jnp.asarray(act),
+            config=CacgmmConfig(iterations=4, iterations_post=1,
+                                em_backend='pallas'),
+            frame_mask=fmv))
+        assert got.shape == ref.shape
+        np.testing.assert_allclose(got, ref, atol=2e-3)
