@@ -171,7 +171,7 @@ def gauss_jordan_inverse_and_logdet(M):
         return A, logdet
 
     inv, logdet = jax.lax.fori_loop(
-        0, d, body, (M, jnp.zeros(M.shape[:-2], rdtype)))
+        0, d, body, (M, jnp.zeros(M.shape[:-2], rdtype)), unroll=8)
     return inv, logdet
 
 
@@ -325,7 +325,7 @@ def blocked_cholesky(A, *, block=32, precision=None,
             return P, Inv
 
         inv0 = jnp.zeros(panel.shape[:-2] + (b, b), panel.dtype)
-        return jax.lax.fori_loop(0, b, step, (panel, inv0))
+        return jax.lax.fori_loop(0, b, step, (panel, inv0), unroll=8)
 
     tri = jnp.tril(jnp.ones((block, block), bool))
     zero = jnp.zeros((), A.dtype)
