@@ -30,8 +30,8 @@ except ImportError:
     _wav_ops = None
     HAVE_NATIVE = False
 
-__all__ = ['load_audio', 'dump_audio', 'audio_length', 'audio_channels',
-           'HAVE_NATIVE']
+__all__ = ['load_audio', 'dump_audio', 'audioread', 'audio_length',
+           'audio_channels', 'HAVE_NATIVE']
 
 _PCM_SCALE = {np.dtype(np.int16): 2.0 ** 15, np.dtype(np.int32): 2.0 ** 31}
 
@@ -43,15 +43,44 @@ _DTYPE_FROM_FMT = {
 
 
 def _read(path, start, stop):
-    if _wav_ops is not None:
-        raw, channels, bits, fmt, sample_rate = _wav_ops.read(
-            str(path), int(start), -1 if stop is None else int(stop))
-        dtype = _DTYPE_FROM_FMT[(fmt, bits)]
-        data = np.frombuffer(raw, dtype=dtype).reshape(-1, channels)
-        if channels == 1:
-            data = data[:, 0]
-        return data, sample_rate
-    return _pywav.read_wav(path, start, stop)
+    try:
+        if _wav_ops is not None:
+            raw, channels, bits, fmt, sample_rate = _wav_ops.read(
+                str(path), int(start), -1 if stop is None else int(stop))
+            dtype = _DTYPE_FROM_FMT[(fmt, bits)]
+            data = np.frombuffer(raw, dtype=dtype).reshape(-1, channels)
+            if channels == 1:
+                data = data[:, 0]
+            return data, sample_rate
+        return _pywav.read_wav(path, start, stop)
+    except (ValueError, RuntimeError, EOFError) as e:
+        _raise_legacy_read_error(path, e)
+
+
+def _raise_legacy_read_error(path, cause):
+    """Reproduce the reference's diagnostics for non-RIFF inputs
+    (pb_chime5/io/audioread.py:197-207): corpora like TIMIT/TIDIGITS ship
+    NIST-SPHERE files with a ``.wav`` suffix; the reference pipes the path
+    through ``file(1)`` and raises its description, and raises a
+    wrong-suffix error for anything that is not ``.wav`` at all."""
+    path = Path(path)
+    if path.suffix != '.wav':
+        raise RuntimeError(
+            f'Wrong suffix {path.suffix} in {path}') from cause
+    try:
+        with open(path, 'rb') as fd:
+            magic = fd.read(8)
+    except OSError:
+        raise cause
+    if magic.startswith(b'NIST_1A'):
+        try:
+            from pb_chime5_tpu.utils.process_caller import run_process
+            stdout = run_process(['file', str(path)]).stdout
+        except Exception:
+            # no file(1) in minimal images: same message it would print
+            stdout = f'{path}: NIST SPHERE file\n'
+        raise RuntimeError(stdout) from cause
+    raise cause
 
 
 def audio_length(path, unit='samples'):
@@ -121,6 +150,23 @@ def load_audio(
     if return_sample_rate:
         return signal, sample_rate
     return signal
+
+
+def audioread(path, offset=0.0, duration=None, expected_sample_rate=None):
+    """Legacy reader API (reference pb_chime5/io/audioread.py:227-300):
+    seconds-based offset/duration, float32 output, (signal, sample_rate)
+    return.  No implicit resampling — a mismatched
+    ``expected_sample_rate`` raises, like the reference."""
+    signal, sample_rate = load_audio(
+        path,
+        start=offset,
+        frames=-1 if duration is None else duration,
+        unit='seconds',
+        dtype=np.float32,
+        expected_sample_rate=expected_sample_rate,
+        return_sample_rate=True,
+    )
+    return signal, sample_rate
 
 
 def dump_audio(

@@ -158,3 +158,38 @@ def test_mkdir_symlink(tmp_path):
     symlink(target, link)
     symlink(target, link)  # idempotent
     assert link.read_text() == 'x'
+
+
+def test_nist_sphere_diagnostic(tmp_path):
+    """A NIST-SPHERE file with a .wav suffix raises the reference's
+    improved diagnostic (audioread.py:197-207) instead of a parse error."""
+    import pytest
+    sph = tmp_path / 'fake.wav'
+    sph.write_bytes(b'NIST_1A\n   1024\nsample_rate -i 16000\nend_head\n')
+    with pytest.raises(RuntimeError, match='NIST SPHERE'):
+        load_audio(sph)
+
+
+def test_wrong_suffix_diagnostic(tmp_path):
+    import pytest
+    bad = tmp_path / 'fake.flac'
+    bad.write_bytes(b'fLaC....')
+    with pytest.raises(RuntimeError, match='Wrong suffix .flac'):
+        load_audio(bad)
+
+
+def test_legacy_audioread(tmp_path):
+    """audioread: seconds offset/duration, float32, (signal, rate)."""
+    from pb_chime5_tpu.io.audio import audioread
+    sig = np.linspace(-0.5, 0.5, 32000).astype(np.float64)
+    p = tmp_path / 'x.wav'
+    dump_audio(sig, p, sample_rate=16000, normalize=False)
+    out, rate = audioread(p, offset=0.5, duration=1.0)
+    assert rate == 16000
+    assert out.dtype == np.float32
+    assert out.shape == (16000,)
+    np.testing.assert_allclose(
+        out, sig[8000:24000].astype(np.float32), atol=2 ** -14)
+    import pytest
+    with pytest.raises(ValueError, match='Requested sampling rate'):
+        audioread(p, expected_sample_rate=8000)
