@@ -71,12 +71,14 @@ def main():
     assert np.isfinite(xh).all(), 'non-finite enhancement output'
     assert np.abs(xh).max() > 0, 'silent enhancement output'
 
-    reps = 3
-    start = time.perf_counter()
-    for _ in range(reps):
+    # median of 5: run-to-run variance through the dev tunnel is ~10%
+    walls = []
+    for _ in range(5):
+        start = time.perf_counter()
         x, _ = gss_enhance(*args, **kwargs)
         np.asarray(x)
-    wall = (time.perf_counter() - start) / reps
+        walls.append(time.perf_counter() - start)
+    wall = sorted(walls)[len(walls) // 2]
 
     xrt = seconds / wall
     print(json.dumps({

@@ -82,7 +82,8 @@ def get_power_inverse(X, psd_context: int = 0, frame_mask=None):
     return 1.0 / jnp.maximum(power, floor)
 
 
-def _wpe_iteration(Y, Y_tilde, inv_power, regularization):
+def _wpe_iteration(Y, Y_tilde, inv_power, regularization,
+                   stats_backend='auto'):
     """One WPE filter update.  Y (F, D, T), Y_tilde (F, taps*D, T),
     inv_power (F, T) -> dereverberated X (F, D, T).
 
@@ -96,11 +97,29 @@ def _wpe_iteration(Y, Y_tilde, inv_power, regularization):
     at ~1e4 with negligible effect on the prediction (documented
     deviation; set regularization=0 for reference-exact float64 behaviour).
     """
-    weighted = Y_tilde * inv_power[:, None, :].astype(Y_tilde.dtype)
-    R = hermitize(jnp.einsum('fit,fjt->fij', weighted,
-                               Y_tilde.conj(), precision=_HIGHEST))
-    P = jnp.einsum('fit,fjt->fij', weighted, Y.conj(),
-                   precision=_HIGHEST)
+    backend = stats_backend
+    if backend == 'auto':
+        # measured on v5e (24ch headline): the fused Pallas statistics
+        # kernel is numerically exact but net-slower (293 vs 273 ms for
+        # stft+wpe) — the time-major transposes of the 2.5 GB stacked
+        # signal it needs cost more than the weighted-copy traffic it
+        # saves.  Kept as an option (and a tested example of the
+        # revisited-accumulation kernel pattern).
+        backend = 'xla'
+    if backend == 'pallas':
+        # fused single-pass statistics (ops/pallas/wpe_stats.py): reads
+        # the stacked signal once per tile, never writes the weighted
+        # (F, taps*D, T) copy to HBM
+        from pb_chime5_tpu.ops.pallas.wpe_stats import wpe_statistics
+        R, P = wpe_statistics(Y_tilde, Y, inv_power)
+        R = hermitize(R.astype(Y.dtype))
+        P = P.astype(Y.dtype)
+    else:
+        weighted = Y_tilde * inv_power[:, None, :].astype(Y_tilde.dtype)
+        R = hermitize(jnp.einsum('fit,fjt->fij', weighted,
+                                 Y_tilde.conj(), precision=_HIGHEST))
+        P = jnp.einsum('fit,fjt->fij', weighted, Y.conj(),
+                       precision=_HIGHEST)
     G = _solve_G(R, P, regularization, inv_power.dtype)
     tail = jnp.einsum('fid,fit->fdt', G.conj(), Y_tilde,
                       precision=_HIGHEST)
@@ -111,10 +130,10 @@ def _solve_G(R, P, regularization, rdtype):
     """R G = P, equilibrated + diagonally loaded (see _wpe_iteration).
 
     The regularized path uses ``hermitian_solve`` (unpivoted Gauss-Jordan
-    for small taps*D, recursive Schur-complement inverse on the MXU for
-    large) — matmul/elementwise only, identical equilibration + loading to
-    the previous Cholesky formulation, but with no linalg custom calls
-    (which the axon TPU backend cannot compile at all).
+    for small taps*D, blocked Cholesky on the MXU for large) —
+    matmul/elementwise only, identical equilibration + loading to the
+    previous formulation, but with no linalg custom calls (which the axon
+    TPU backend cannot compile at all).
     """
     if regularization:
         return hermitian_solve(R, P, relative_load=regularization)
@@ -188,9 +207,11 @@ def _chunked_wpe_iteration(Y, inv_power, taps, delay, regularization,
 @functools.partial(
     jax.jit,
     static_argnames=('taps', 'delay', 'iterations', 'psd_context',
-                     'regularization', 'chunk_size', 'has_frame_mask'))
+                     'regularization', 'chunk_size', 'has_frame_mask',
+                     'stats_backend'))
 def _wpe_impl(Y, taps, delay, iterations, psd_context, regularization,
-              chunk_size, frame_mask, has_frame_mask):
+              chunk_size, frame_mask, has_frame_mask,
+              stats_backend='auto'):
     fm = frame_mask if has_frame_mask else None
     if chunk_size is None:
         Y_tilde = build_y_tilde(Y, taps, delay)
@@ -199,7 +220,8 @@ def _wpe_impl(Y, taps, delay, iterations, psd_context, regularization,
 
         def body(_, X):
             inv_power = get_power_inverse(X, psd_context, fm)
-            return _wpe_iteration(Y, Y_tilde, inv_power, regularization)
+            return _wpe_iteration(Y, Y_tilde, inv_power, regularization,
+                                  stats_backend=stats_backend)
     else:
         def body(_, X):
             inv_power = get_power_inverse(X, psd_context, fm)
@@ -214,7 +236,8 @@ def _wpe_impl(Y, taps, delay, iterations, psd_context, regularization,
 
 def wpe(Y, *, taps: int = 10, delay: int = 2, iterations: int = 3,
         psd_context: int = 0, regularization: float = 1e-4,
-        chunk_size: int = None, frame_mask=None):
+        chunk_size: int = None, frame_mask=None,
+        stats_backend: str = 'auto'):
     """Batched offline WPE.
 
     Args:
@@ -238,4 +261,4 @@ def wpe(Y, *, taps: int = 10, delay: int = 2, iterations: int = 3,
                      regularization, chunk_size,
                      frame_mask if frame_mask is None
                      else jnp.asarray(frame_mask, dtype=bool),
-                     frame_mask is not None)
+                     frame_mask is not None, stats_backend=stats_backend)

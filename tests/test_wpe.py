@@ -98,3 +98,18 @@ def test_wpe_frame_mask_ignores_padding(rng):
     X = np.asarray(wpe(jnp.asarray(Y), taps=3, delay=1, iterations=2))
     np.testing.assert_allclose(X_pad[..., :60], X, atol=1e-5)
     np.testing.assert_allclose(X_pad[..., 60:], 0.0)
+
+
+def test_pallas_stats_backend_matches_xla(rng):
+    """The fused Pallas statistics kernel (interpret off-TPU) must match
+    the XLA einsum formulation (float32 both)."""
+    from pb_chime5_tpu.ops.wpe import wpe
+    F, D, T = 9, 3, 700
+    Y = (rng.standard_normal((F, D, T))
+         + 1j * rng.standard_normal((F, D, T))).astype(np.complex64)
+    ref = np.asarray(wpe(jnp.asarray(Y), taps=4, delay=1, iterations=2,
+                         stats_backend='xla'))
+    got = np.asarray(wpe(jnp.asarray(Y), taps=4, delay=1, iterations=2,
+                         stats_backend='pallas'))
+    scale = np.abs(ref).max()
+    np.testing.assert_allclose(got / scale, ref / scale, atol=2e-4)
