@@ -166,3 +166,23 @@ def test_file_queue_interleaved(tmp_path):
     out2 += list(g2)
     assert sorted(out1 + out2) == sorted(items)
     assert set(out1) & set(out2) == set()
+
+
+def test_freq_sharded_with_pallas_em(rng):
+    """The fused Pallas E+M kernel must compose with shard_map frequency
+    sharding (each shard's kernel grid covers its F-slice); interpret
+    mode on the CPU mesh, parity vs the unsharded XLA path."""
+    obs, acts, tgts, valids, _, N = _batch(rng, B=2)
+    config = GssConfig(wpe=False, bss_iterations=3,
+                       bss_em_backend='pallas')
+    mesh = make_mesh(data=1, freq=8)
+    out_sharded = np.asarray(sharded_gss_enhance(
+        mesh, jnp.asarray(obs[:1]), jnp.asarray(acts[:1]),
+        jnp.asarray(tgts[:1]), jnp.asarray(valids[:1]), config=config,
+        num_output_samples=N))
+    out_local = np.asarray(batched_gss_enhance(
+        jnp.asarray(obs[:1]), jnp.asarray(acts[:1]), jnp.asarray(tgts[:1]),
+        jnp.asarray(valids[:1]),
+        config=GssConfig(wpe=False, bss_iterations=3),
+        num_output_samples=N))
+    np.testing.assert_allclose(out_sharded, out_local, atol=2e-3)
