@@ -149,8 +149,40 @@ def _overlap_add(frames, size: int, shift: int):
     return out.at[..., jnp.asarray(idx)].add(frames)
 
 
+
+@functools.lru_cache(maxsize=8)
+def _rdft_matrices(size: int):
+    """rFFT of the identity, as float32 real/imag planes — the DFT as a
+    matmul.  Two reasons to have this: (a) the (T*D, size) framed matmul
+    is measurably faster than the XLA FFT op on the axon v5e backend
+    (~4 ms vs ~10 ms for the headline stft), and (b) it is insurance
+    against the backend losing the FFT custom lowering the way it lost
+    every LAPACK-style custom call (see ops/linalg.py)."""
+    W = np.fft.rfft(np.eye(size))
+    return (np.ascontiguousarray(W.real, np.float32),
+            np.ascontiguousarray(W.imag, np.float32))
+
+
+@functools.lru_cache(maxsize=8)
+def _irdft_matrices(size: int):
+    """irFFT of the (complex) identity: x = X_r @ Mr + X_i @ Mi."""
+    F = size // 2 + 1
+    Mr = np.fft.irfft(np.eye(F), n=size)
+    Mi = np.fft.irfft(1j * np.eye(F), n=size)
+    return (np.ascontiguousarray(Mr, np.float32),
+            np.ascontiguousarray(Mi, np.float32))
+
+
+def _resolve_dft_backend(backend: str) -> str:
+    if backend == 'auto':
+        return 'matmul' if jax.default_backend() == 'tpu' else 'fft'
+    assert backend in ('fft', 'matmul'), backend
+    return backend
+
+
 @functools.partial(
-    jax.jit, static_argnames=('size', 'shift', 'fading', 'pad', 'window_fn'))
+    jax.jit, static_argnames=('size', 'shift', 'fading', 'pad',
+                              'window_fn', 'dft_backend'))
 def stft(
         x,
         size: int = 1024,
@@ -159,6 +191,7 @@ def stft(
         fading: bool = True,
         pad: bool = True,
         window_fn=blackman_window,
+        dft_backend: str = 'auto',
 ):
     """Short-time Fourier transform: ``(..., N) -> (..., T, size // 2 + 1)``.
 
@@ -187,12 +220,21 @@ def stft(
     if window_fn is not None:
         window = jnp.asarray(np.asarray(window_fn(size)), dtype=frames.dtype)
         frames = frames * window
+    if _resolve_dft_backend(dft_backend) == 'matmul' and \
+            frames.dtype == jnp.float32:
+        Wr, Wi = _rdft_matrices(size)
+        re = jnp.einsum('...f,fk->...k', frames, jnp.asarray(Wr),
+                        precision=jax.lax.Precision.HIGHEST)
+        im = jnp.einsum('...f,fk->...k', frames, jnp.asarray(Wi),
+                        precision=jax.lax.Precision.HIGHEST)
+        return jax.lax.complex(re, im)
     return jnp.fft.rfft(frames, n=size, axis=-1)
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=('size', 'shift', 'fading', 'window_fn', 'num_samples'))
+    static_argnames=('size', 'shift', 'fading', 'window_fn', 'num_samples',
+                     'dft_backend'))
 def istft(
         X,
         size: int = 1024,
@@ -201,6 +243,7 @@ def istft(
         fading: bool = True,
         window_fn=blackman_window,
         num_samples: int = None,
+        dft_backend: str = 'auto',
 ):
     """Inverse STFT via biorthogonal-window overlap-add.
 
@@ -210,7 +253,16 @@ def istft(
     length (handles the ``pad=True`` ceiling in the forward transform).
     """
     X = jnp.asarray(X)
-    frames = jnp.fft.irfft(X, n=size, axis=-1)
+    if _resolve_dft_backend(dft_backend) == 'matmul' and \
+            X.dtype == jnp.complex64:
+        Mr, Mi = _irdft_matrices(size)
+        frames = (
+            jnp.einsum('...k,kf->...f', X.real, jnp.asarray(Mr),
+                       precision=jax.lax.Precision.HIGHEST)
+            + jnp.einsum('...k,kf->...f', X.imag, jnp.asarray(Mi),
+                         precision=jax.lax.Precision.HIGHEST))
+    else:
+        frames = jnp.fft.irfft(X, n=size, axis=-1)
     analysis = np.asarray(window_fn(size))
     synthesis = jnp.asarray(
         biorthogonal_synthesis_window(analysis, shift), dtype=frames.dtype)

@@ -107,3 +107,19 @@ def test_synthesis_window_biorthogonality():
     for k in range(size // shift):
         total += (w * s)[k * shift:(k + 1) * shift]
     np.testing.assert_allclose(total, 1.0, atol=1e-10)
+
+
+def test_matmul_dft_backend_matches_fft():
+    """The DFT-as-matmul backend (the TPU default) must match the FFT
+    lowering in float32."""
+    rng = np.random.default_rng(3)
+    x = rng.standard_normal((3, 8000)).astype(np.float32)
+    a = np.asarray(stft(jnp.asarray(x), 1024, 256, dft_backend='fft'))
+    b = np.asarray(stft(jnp.asarray(x), 1024, 256, dft_backend='matmul'))
+    assert b.dtype == np.complex64
+    np.testing.assert_allclose(b, a, atol=2e-4 * np.abs(a).max())
+    xa = np.asarray(istft(jnp.asarray(a), 1024, 256, num_samples=8000,
+                          dft_backend='fft'))
+    xb = np.asarray(istft(jnp.asarray(a.astype(np.complex64)), 1024, 256,
+                          num_samples=8000, dft_backend='matmul'))
+    np.testing.assert_allclose(xb, xa, atol=2e-5 * np.abs(xa).max())
