@@ -53,7 +53,11 @@ class WavInfo:
 
 
 def _parse_header(f, path):
-    riff, _, wave = struct.unpack('<4sI4s', f.read(12))
+    head = f.read(12)
+    if len(head) < 12:
+        raise ValueError(f'{path}: truncated file ({len(head)} bytes, '
+                         f'no RIFF/WAVE header)')
+    riff, _, wave = struct.unpack('<4sI4s', head)
     if riff != b'RIFF' or wave != b'WAVE':
         raise ValueError(f'{path}: not a RIFF/WAVE file '
                          f'(magic {riff!r}/{wave!r})')
