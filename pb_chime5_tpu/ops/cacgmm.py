@@ -57,9 +57,16 @@ class CacgmmConfig:
     """Static EM configuration (hashable -> usable as a jit static arg)."""
     iterations: int = 20
     iterations_post: int = 1
-    # 'gauss_jordan' (default: matmul/elementwise-only, required on
-    # backends without linalg custom calls) | 'cholesky' | 'schur' | 'eigh'
-    inverse: str = 'gauss_jordan'
+    # 'auto' = 'gauss_jordan' (matmul/elementwise-only XLA, required on
+    # backends without linalg custom calls; also the measured-fastest
+    # batched (F, K, 24, 24) inverse on v5e at ~2 ms) | 'pallas_gj'
+    # (in-VMEM Pallas Gauss-Jordan, ops/pallas/gj_inverse2d.py —
+    # compiles and matches to 5e-7 but measured ~1 ms/inversion SLOWER
+    # in the EM loop: its per-pivot one-hot selection dots cost more
+    # than the XLA path's HBM rewrites at D=24; kept as the working
+    # exemplar of the in-VMEM factorization pattern) | 'cholesky' |
+    # 'schur' | 'eigh'
+    inverse: str = 'auto'
     eigenvalue_floor: float = 1e-10  # used by the 'eigh' inverse
     diagonal_floor: float = 1e-6     # 'gauss_jordan' / 'cholesky' / 'schur'
     # T-chunked fused E+M accumulation (lax.scan): the (K, T, D)
@@ -130,9 +137,15 @@ def _m_step(z, gamma, quadratic_form, frame_mask, config):
     return log_weight, precision, logdet.astype(rdtype)
 
 
-def _invert(cov, config):
+def _invert(cov, config, *, batched=False):
     """Hermitian (..., D, D) -> (precision, logdet), batched, with a
-    conditioning floor."""
+    conditioning floor.
+
+    ``batched=True`` marks call sites that pass the FULL (F, K) batch in
+    one call (the fused-EM driver).  Only those may use the Pallas
+    in-VMEM kernel: under a per-frequency ``vmap`` the kernel's batch
+    padding multiplies by F and its VMEM scratch exceeds the chip limit,
+    so vmapped call sites silently use the XLA path instead (same math)."""
     D = cov.shape[-1]
     rdtype = cov.real.dtype
     tiny = jnp.finfo(rdtype).tiny
@@ -161,7 +174,7 @@ def _invert(cov, config):
         cov = cov + jitter[..., None, None].astype(cov.dtype) \
             * jnp.eye(D, dtype=cov.dtype)
         return schur_inverse_and_logdet(cov)
-    elif config.inverse == 'gauss_jordan':
+    elif config.inverse in ('auto', 'gauss_jordan', 'pallas_gj'):
         # Default: trace-scaled diagonal jitter (same conditioning as the
         # 'cholesky' mode), then a batched unpivoted Gauss-Jordan inverse.
         # Two reasons over XLA's cholesky+triangular-solve custom calls:
@@ -173,6 +186,17 @@ def _invert(cov, config):
         jitter = jnp.maximum(config.diagonal_floor * tr / D, tiny)
         cov = cov + jitter[..., None, None].astype(cov.dtype) \
             * jnp.eye(D, dtype=cov.dtype)
+        mode = config.inverse
+        if mode == 'auto':
+            mode = 'gauss_jordan'
+        if not batched:
+            mode = 'gauss_jordan'
+        if mode == 'pallas_gj':
+            # in-VMEM pivot steps: one HBM read + write of the batch
+            # instead of one rewrite per pivot step
+            from pb_chime5_tpu.ops.pallas.gj_inverse2d import (
+                hermitian_inverse_and_logdet_2d)
+            return hermitian_inverse_and_logdet_2d(cov)
         return gauss_jordan_inverse_and_logdet(cov)
     elif config.inverse == 'cholesky':
         # Fast path: trace-scaled diagonal jitter, Cholesky inverse.
@@ -380,7 +404,7 @@ def _cacgmm_posteriors_pallas(Y, initialization, source_activity_mask,
         cov = hermitize(
             S * (D / jnp.maximum(denom, tiny))[..., None, None]
             .astype(S.dtype))
-        precision, logdet = _invert(cov, config)
+        precision, logdet = _invert(cov, config, batched=True)
         return log_weight, precision, logdet.astype(rdtype)
 
     params = jax.lax.fori_loop(
