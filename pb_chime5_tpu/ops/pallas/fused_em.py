@@ -40,6 +40,21 @@ __all__ = ['fused_em_scatter']
 
 _HIGHEST = jax.lax.Precision.HIGHEST
 
+# Largest single time tile (sublane count of the in-kernel [zr|zi] block,
+# ~4096 x 48 floats = 786 KB VMEM).  One tile per frequency measured
+# ~0.5 ms/iteration faster than two on the headline T=2503 workload
+# (fewer grid steps and no output-block revisiting).
+_MAX_TIME_TILE = 4096
+
+
+def resolve_time_tile(T, time_tile=None):
+    """None -> one tile covering T (rounded up to a sublane multiple)
+    when that fits VMEM, else fixed 2048-frame tiles."""
+    if time_tile is not None:
+        return time_tile
+    tp8 = -(-T // 8) * 8
+    return tp8 if tp8 <= _MAX_TIME_TILE else 2048
+
 
 def _kernel(z2_ref, pt2_ref, lw_ref, ld_ref, act_ref, fm_ref,
             s4_ref, den_ref, *, K, D):
@@ -140,10 +155,11 @@ def _scatter_call(z2, pt2, lw, ld, act, fm, *, K, D, time_tile,
 
 
 def prepare_em_inputs(z, source_activity_mask, frame_mask, K, *,
-                      time_tile=1280):
+                      time_tile=None):
     """Hoist the per-EM-run-constant kernel inputs (the padded [zr | zi]
     planes and masks) out of the iteration loop."""
     F, T, D = z.shape
+    time_tile = resolve_time_tile(T, time_tile)
     pad = (-T) % time_tile
     zr = jnp.pad(z.real.astype(jnp.float32), ((0, 0), (0, pad), (0, 0)))
     zi = jnp.pad(z.imag.astype(jnp.float32), ((0, 0), (0, pad), (0, 0)))
@@ -160,12 +176,20 @@ def prepare_em_inputs(z, source_activity_mask, frame_mask, K, *,
     return z2, act, fm
 
 
-def fused_em_scatter_prepared(z2, act, fm, params, *, D, time_tile=1280,
+def fused_em_scatter_prepared(z2, act, fm, params, *, D, time_tile=None,
                               interpret=None):
     """One fused E+M accumulation pass over inputs from
-    :func:`prepare_em_inputs`."""
+    :func:`prepare_em_inputs` (same ``time_tile`` as used there: the
+    padded length of z2 must be a multiple of it)."""
     if interpret is None:
         interpret = jax.default_backend() != 'tpu'
+    if time_tile is None:
+        # z2 is already padded to a tile multiple by prepare_em_inputs;
+        # recover the same resolution from the ORIGINAL length when it
+        # divides evenly, else the padded length IS one tile
+        time_tile = resolve_time_tile(z2.shape[1])
+        if z2.shape[1] % time_tile:
+            time_tile = z2.shape[1]
     log_weight, precision, logdet = params
     F = z2.shape[0]
     K = log_weight.shape[-1]
@@ -192,7 +216,7 @@ def fused_em_scatter_prepared(z2, act, fm, params, *, D, time_tile=1280,
 
 
 def fused_em_scatter(z, params, source_activity_mask, frame_mask, *,
-                     time_tile=1280, interpret=None):
+                     time_tile=None, interpret=None):
     """One fused E+M accumulation pass.
 
     z (F, T, D) complex64, params = (log_weight (F, K), precision
