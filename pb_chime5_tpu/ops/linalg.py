@@ -231,24 +231,16 @@ def block_gauss_jordan_inverse_and_logdet(M, *, block=32, precision=None):
     return A, logdet
 
 
-def blocked_cholesky(A, *, block=32, precision=None,
-                     _return_block_inverses=False):
-    """Blocked lower-Cholesky factorization of batched Hermitian PD
-    matrices — no LAPACK custom call.
+def _cholesky_panels(A, *, block=32, precision=None):
+    """Blocked lower-Cholesky factorization, returned as raw column
+    panels (see :func:`blocked_cholesky` for the algorithm notes).
 
-    Right-looking blocked algorithm: each (m, b) panel (pivot block plus
-    the rows below it) is factorized by a ``fori_loop`` of b rank-1 steps,
-    and the rank-b trailing update is one batched matmul on the MXU.  No
-    explicit inverse is ever formed during factorization — unlike the
-    full-block-inverse composition of block-GJ, which loses
-    cond(block)*eps per panel (measured catastrophic on WPE statistics),
-    this is numerically standard unpivoted Cholesky, backward stable for
-    HPD.
-
-    A (..., d, d) -> lower-triangular L with A = L L^H.  Entries above the
-    diagonal are zeroed.  The caller must ensure positive definiteness
-    (diagonal loading); non-PD pivots are floored at tiny, producing large
-    but finite results.
+    A (..., d, d) -> (col_blocks, inv_blocks, d, pad): ``col_blocks[j]``
+    is the (..., dp - j*block, block) panel [L11; L21] of block column
+    j (dp = d + pad), ``inv_blocks[j]`` is inv(L11_j).  Keeping the
+    factor in panel form lets the substitution consume it directly —
+    assembling the full L only to slice the very same blocks back out
+    costs an extra (..., d, d) write + read.
     """
     if precision is None:
         precision = jax.lax.Precision.HIGHEST
@@ -349,6 +341,31 @@ def blocked_cholesky(A, *, block=32, precision=None,
                 L21, L21.conj().swapaxes(-2, -1), precision=precision)
         else:
             col_blocks.append(L11)
+    return col_blocks, inv_blocks, d, pad
+
+
+def blocked_cholesky(A, *, block=32, precision=None,
+                     _return_block_inverses=False):
+    """Blocked lower-Cholesky factorization of batched Hermitian PD
+    matrices — no LAPACK custom call.
+
+    Right-looking blocked algorithm: each (m, b) panel (pivot block plus
+    the rows below it) is factorized by a ``fori_loop`` of b rank-1 steps,
+    and the rank-b trailing update is one batched matmul on the MXU.  No
+    explicit inverse is ever formed during factorization — unlike the
+    full-block-inverse composition of block-GJ, which loses
+    cond(block)*eps per panel (measured catastrophic on WPE statistics),
+    this is numerically standard unpivoted Cholesky, backward stable for
+    HPD.
+
+    A (..., d, d) -> lower-triangular L with A = L L^H.  Entries above the
+    diagonal are zeroed.  The caller must ensure positive definiteness
+    (diagonal loading); non-PD pivots are floored at tiny, producing large
+    but finite results.
+    """
+    A = jnp.asarray(A)
+    col_blocks, inv_blocks, d, pad = _cholesky_panels(
+        A, block=block, precision=precision)
     # assemble L from the column blocks (one concatenate per block column)
     cols = []
     for j, cb in enumerate(col_blocks):
@@ -360,6 +377,60 @@ def blocked_cholesky(A, *, block=32, precision=None,
     if _return_block_inverses:
         return L, inv_blocks
     return L
+
+
+def _solve_from_panels(col_blocks, inv_blocks, B, *, precision=None):
+    """Solve ``L L^H X = B`` directly from the factor's column panels —
+    no assembled L, and the forward/backward substitutions build their
+    solution block lists with small concatenates instead of whole-buffer
+    ``.at[].set`` updates.
+
+    col_blocks[j] (..., dp - j*block, block), B (..., d, e) -> (..., d, e)
+    (B is zero-extended to dp rows internally; the padded rows solve the
+    identity block and are dropped).
+    """
+    if precision is None:
+        precision = jax.lax.Precision.HIGHEST
+    B = jnp.asarray(B)
+    nb = len(col_blocks)
+    block = col_blocks[0].shape[-1]
+    d = B.shape[-2]
+    dp = nb * block
+
+    if dp > d:
+        B = jnp.concatenate([
+            B, jnp.zeros(B.shape[:-2] + (dp - d, B.shape[-1]), B.dtype)],
+            axis=-2)
+
+    # forward: L Y = B, one solved block per panel
+    ys = []
+    for j in range(nb):
+        lo = j * block
+        rhs = B[..., lo:lo + block, :]
+        if j:
+            # L[lo:lo+b, :lo] = rows (lo - lo_k) of each earlier panel
+            lrow = jnp.concatenate([
+                col_blocks[k][..., lo - k * block:lo - k * block + block, :]
+                for k in range(j)], axis=-1)               # (..., b, lo)
+            rhs = rhs - jnp.matmul(lrow, jnp.concatenate(ys, axis=-2),
+                                   precision=precision)
+        ys.append(jnp.matmul(inv_blocks[j], rhs, precision=precision))
+
+    # backward: L^H X = Y
+    xs = [None] * nb
+    for j in reversed(range(nb)):
+        rhs = ys[j]
+        if j < nb - 1:
+            # L[lo+b:, lo:lo+b]^H = col_blocks[j][b:]^H
+            below = col_blocks[j][..., block:, :]
+            rhs = rhs - jnp.matmul(
+                below.conj().swapaxes(-2, -1),
+                jnp.concatenate(xs[j + 1:], axis=-2), precision=precision)
+        xs[j] = jnp.matmul(
+            inv_blocks[j].conj().swapaxes(-2, -1), rhs,
+            precision=precision)
+    X = jnp.concatenate(xs, axis=-2)
+    return X[..., :d, :]
 
 
 def blocked_cholesky_solve(L, B, *, block=32, precision=None,
@@ -466,10 +537,9 @@ def hermitian_solve(A, B, *, relative_load=None, method=None,
         # stable) wins above
         method = 'gj' if d <= 32 else 'chol'
     if method == 'chol':
-        L, invs = blocked_cholesky(As, precision=precision,
-                                   _return_block_inverses=True)
-        X = blocked_cholesky_solve(L, sinv[..., :, None] * B,
-                                   precision=precision, inv_diag=invs)
+        col_blocks, invs, _, _ = _cholesky_panels(As, precision=precision)
+        X = _solve_from_panels(col_blocks, invs, sinv[..., :, None] * B,
+                               precision=precision)
         return sinv[..., :, None] * X
     if method == 'gj':
         inv, _ = gauss_jordan_inverse_and_logdet(As)
