@@ -110,3 +110,25 @@ def test_real_dtype_supported(rng):
     ref = V[..., -1]
     ref = ref * np.sign(ref[..., :1])
     np.testing.assert_allclose(v, ref, atol=1e-8)
+
+
+@pytest.mark.parametrize('d', [64, 240, 33])
+def test_solve_from_panels_matches_assembled_solve(rng, d):
+    """The panel-direct substitution (_solve_from_panels) must agree with
+    the assembled-L path (blocked_cholesky + blocked_cholesky_solve) —
+    they are the same math with the big .at[].set buffers removed."""
+    from pb_chime5_tpu.ops.linalg import (
+        _cholesky_panels, _solve_from_panels,
+        blocked_cholesky, blocked_cholesky_solve)
+    M = _hpd(rng, 3, d).astype(np.complex64)
+    B = (rng.standard_normal((3, d, 7))
+         + 1j * rng.standard_normal((3, d, 7))).astype(np.complex64)
+    col_blocks, invs, _, _ = _cholesky_panels(jnp.asarray(M))
+    X_panels = np.asarray(_solve_from_panels(col_blocks, invs,
+                                             jnp.asarray(B)))
+    L, invs2 = blocked_cholesky(jnp.asarray(M),
+                                _return_block_inverses=True)
+    X_assembled = np.asarray(blocked_cholesky_solve(L, jnp.asarray(B),
+                                                    inv_diag=invs2))
+    np.testing.assert_allclose(X_panels, X_assembled, rtol=2e-5,
+                               atol=2e-5)
