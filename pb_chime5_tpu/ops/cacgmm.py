@@ -386,18 +386,12 @@ def _cacgmm_posteriors_pallas(Y, initialization, source_activity_mask,
     rdtype = jnp.float32
     tiny = jnp.finfo(rdtype).tiny
 
-    params = jax.vmap(
-        lambda zf: _m_step(zf, initialization.astype(rdtype),
-                           jnp.ones_like(initialization, rdtype),
-                           frame_mask, config))(z)
-
     # padded [zr|zi] planes + masks are loop constants — build them once
     z2m, act_m, fm2 = prepare_em_inputs(
         z, source_activity_mask, frame_mask, K)
     _, act_1, _ = prepare_em_inputs(z, None, frame_mask, K)
 
-    def iteration(params, act):
-        S, denom = fused_em_scatter_prepared(z2m, act, fm2, params, D=D)
+    def finalize(S, denom):
         weight = denom / jnp.maximum(
             jnp.sum(denom, axis=-1, keepdims=True), tiny)
         log_weight = jnp.log(jnp.maximum(weight, tiny))
@@ -406,6 +400,24 @@ def _cacgmm_posteriors_pallas(Y, initialization, source_activity_mask,
             .astype(S.dtype))
         precision, logdet = _invert(cov, config, batched=True)
         return log_weight, precision, logdet.astype(rdtype)
+
+    def iteration(params, act):
+        S, denom = fused_em_scatter_prepared(z2m, act, fm2, params, D=D)
+        return finalize(S, denom)
+
+    # First M-step through the same kernel: with identity precisions and
+    # zero log-weights/logdets the E-step is the identity on the
+    # (column-normalized) initialization — q = z^H I z = 1 for the
+    # unit-normalized z, log_pdf = 0, so gamma = init exactly — and the
+    # scatter equals the reference's initialization-driven first fit
+    # step (core.py:156-163) without materializing the unfused
+    # (F, K, T, D) weighted intermediate.
+    _, act_init, _ = prepare_em_inputs(
+        z, initialization.astype(rdtype), frame_mask, K)
+    eye = jnp.broadcast_to(jnp.eye(D, dtype=z.dtype), (F, K, D, D))
+    params0 = (jnp.zeros((F, K), rdtype), eye, jnp.zeros((F, K), rdtype))
+    S0, den0 = fused_em_scatter_prepared(z2m, act_init, fm2, params0, D=D)
+    params = finalize(S0, den0)
 
     params = jax.lax.fori_loop(
         0, config.iterations - 1,
