@@ -172,3 +172,22 @@ def test_pallas_em_backend_matches_xla(rng):
             frame_mask=fmv))
         assert got.shape == ref.shape
         np.testing.assert_allclose(got, ref, atol=2e-3)
+
+
+def test_pallas_em_long_utterance_multi_tile(rng):
+    """T > the 4096-frame single-tile cap exercises the fixed-2048-tile
+    path with output-block revisit accumulation (and its padding tail);
+    must still track the XLA path."""
+    F, T, D, K = 4, 4500, 3, 2
+    Y = (rng.standard_normal((F, T, D))
+         + 1j * rng.standard_normal((F, T, D))).astype(np.complex64)
+    act = rng.random((K, T)) > 0.3
+    act[-1] = True
+    ref = np.asarray(cacgmm_posteriors(
+        jnp.asarray(Y), jnp.asarray(act),
+        config=CacgmmConfig(iterations=3, iterations_post=1)))
+    got = np.asarray(cacgmm_posteriors(
+        jnp.asarray(Y), jnp.asarray(act),
+        config=CacgmmConfig(iterations=3, iterations_post=1,
+                            em_backend='pallas')))
+    np.testing.assert_allclose(got, ref, atol=2e-3)
