@@ -69,6 +69,10 @@ def _parse_header(f, path):
         chunk_id, chunk_size = struct.unpack('<4sI', head)
         if chunk_id == b'fmt ':
             fmt_data = f.read(chunk_size)
+            if len(fmt_data) < 16:
+                raise ValueError(
+                    f'{path}: truncated fmt chunk ({len(fmt_data)} of '
+                    f'{chunk_size} bytes)')
             (audio_format, channels, sample_rate, _, _,
              bits_per_sample) = struct.unpack('<HHIIHH', fmt_data[:16])
             if audio_format == _FMT_EXTENSIBLE and chunk_size >= 40:

@@ -378,7 +378,7 @@ def _cacgmm_posteriors_pallas(Y, initialization, source_activity_mask,
     the F axis in its grid, so no vmap here; the per-iteration covariance
     inverse stays in XLA, batched over (F, K))."""
     from pb_chime5_tpu.ops.pallas.fused_em import (
-        fused_em_scatter_prepared, prepare_em_inputs)
+        fused_em_scatter_prepared, prepare_activity, prepare_em_inputs)
 
     z = _normalize_observations(Y)                       # (F, T, D)
     F, T, D = z.shape
@@ -386,10 +386,11 @@ def _cacgmm_posteriors_pallas(Y, initialization, source_activity_mask,
     rdtype = jnp.float32
     tiny = jnp.finfo(rdtype).tiny
 
-    # padded [zr|zi] planes + masks are loop constants — build them once
+    # padded [zr|zi] planes + masks are loop constants — build them once;
+    # the activity variants only need their own (Tp, K) plane
     z2m, act_m, fm2 = prepare_em_inputs(
         z, source_activity_mask, frame_mask, K)
-    _, act_1, _ = prepare_em_inputs(z, None, frame_mask, K)
+    act_1 = prepare_activity(None, T, K)
 
     def finalize(S, denom):
         weight = denom / jnp.maximum(
@@ -412,8 +413,7 @@ def _cacgmm_posteriors_pallas(Y, initialization, source_activity_mask,
     # scatter equals the reference's initialization-driven first fit
     # step (core.py:156-163) without materializing the unfused
     # (F, K, T, D) weighted intermediate.
-    _, act_init, _ = prepare_em_inputs(
-        z, initialization.astype(rdtype), frame_mask, K)
+    act_init = prepare_activity(initialization.astype(rdtype), T, K)
     eye = jnp.broadcast_to(jnp.eye(D, dtype=z.dtype), (F, K, D, D))
     params0 = (jnp.zeros((F, K), rdtype), eye, jnp.zeros((F, K), rdtype))
     S0, den0 = fused_em_scatter_prepared(z2m, act_init, fm2, params0, D=D)

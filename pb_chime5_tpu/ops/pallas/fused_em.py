@@ -154,6 +154,17 @@ def _scatter_call(z2, pt2, lw, ld, act, fm, *, K, D, time_tile,
     return s4, den
 
 
+def prepare_activity(source_activity_mask, T, K, *, time_tile=None):
+    """(K, T) mask (or None = all-on) -> padded (Tp, K) kernel plane.
+    Padded frames get 1.0 (they are excluded by the frame mask)."""
+    pad = (-T) % resolve_time_tile(T, time_tile)
+    if source_activity_mask is None:
+        return jnp.ones((T + pad, K), jnp.float32)
+    return jnp.pad(
+        jnp.asarray(source_activity_mask, jnp.float32).T,
+        ((0, pad), (0, 0)), constant_values=1.0)             # (Tp, K)
+
+
 def prepare_em_inputs(z, source_activity_mask, frame_mask, K, *,
                       time_tile=None):
     """Hoist the per-EM-run-constant kernel inputs (the padded [zr | zi]
@@ -167,12 +178,8 @@ def prepare_em_inputs(z, source_activity_mask, frame_mask, K, *,
     fm = (jnp.ones((T,), jnp.float32) if frame_mask is None
           else jnp.asarray(frame_mask, jnp.float32))
     fm = jnp.pad(fm, (0, pad))[:, None]                      # (Tp, 1)
-    if source_activity_mask is None:
-        act = jnp.ones((T + pad, K), jnp.float32)
-    else:
-        act = jnp.pad(
-            jnp.asarray(source_activity_mask, jnp.float32).T,
-            ((0, pad), (0, 0)), constant_values=1.0)         # (Tp, K)
+    act = prepare_activity(source_activity_mask, T, K,
+                           time_tile=time_tile)
     return z2, act, fm
 
 

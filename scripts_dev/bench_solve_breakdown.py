@@ -2,7 +2,7 @@
 
 Pieces of the (F=513, 240, 240) solve timed as prefix programs (the
 backend defers execution until a download; differences of prefixes are
-the stage costs).  Also sweeps the factor-panel unroll.
+the stage costs).
 
 Run: python scripts_dev/bench_solve_breakdown.py
 """
@@ -57,7 +57,7 @@ def main():
                jax.jit(lambda xr, xi: jnp.abs(make_A(xr, xi)).sum()),
                Xr, Xi)
 
-    def chol_at(unroll_patch=None, block=32):
+    def chol_at(block=32):
         @jax.jit
         def f(xr, xi):
             A = make_A(xr, xi)
@@ -77,17 +77,19 @@ def main():
     print(f'deltas: cholesky {1e3*(t1-t0):.1f} ms, '
           f'equilibrate+substitution {1e3*(t2-t1):.1f} ms')
 
-    # factor-panel loop only: 8 panels of the SAME kind batched as one
+    # factor-panel loop only: the full 32x32 diagonal blocks batched as
+    # one call (DIM=240 holds 7 full blocks; the 16-wide tail is skipped)
+    nfull = DIM // 32
+
     @jax.jit
     def f_panels(xr, xi):
         A = make_A(xr, xi)
-        blks = [A[:, j*32:(j+1)*32, j*32:(j+1)*32] for j in range(8)]
-        stacked = jnp.stack(blks, axis=0)        # (8, F, 32, 32)
-        L, Inv = linalg.blocked_cholesky(
-            stacked.reshape(8 * F, 32, 32), block=32,
-            _return_block_inverses=True)[0], None
+        blks = [A[:, j*32:(j+1)*32, j*32:(j+1)*32] for j in range(nfull)]
+        stacked = jnp.stack(blks, axis=0)        # (nfull, F, 32, 32)
+        L = linalg.blocked_cholesky(
+            stacked.reshape(nfull * F, 32, 32), block=32)
         return jnp.abs(L).sum()
-    bench('8 panels as one batch  ', f_panels, Xr, Xi)
+    bench(f'{nfull} diag panels, one batch', f_panels, Xr, Xi)
 
 
 if __name__ == '__main__':

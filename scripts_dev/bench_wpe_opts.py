@@ -98,10 +98,23 @@ def main():
         return jnp.abs(R).sum() + jnp.abs(P).sum()
     t_comb = bench('stats combined (264 cols)', f_stats_combined, Yr, Yi)
 
-    # numerical check combined == separate
-    a = np.asarray(jax.jit(lambda yr, yi: jnp.abs(
-        make_RP(yr, yi)[1]).sum().reshape(1))(Yr, Yi))
-    print(f'combined saves {1e3*(t_stats-t_comb):.1f} ms/iter')
+    # numerical check: combined R|P slices must equal the separate einsums
+    @jax.jit
+    def f_check(yr, yi):
+        Y = yr + 1j * yi
+        w = get_power_inverse(Y)
+        Yt = build_y_tilde(Y, TAPS, DELAY)
+        Z = jnp.concatenate([Yt, Y], axis=1)
+        weighted = Yt * w[:, None, :].astype(Yt.dtype)
+        S = jnp.einsum('fit,fjt->fij', weighted, Z.conj(),
+                       precision=_HIGHEST)
+        R, P = make_RP(yr, yi)
+        dr = jnp.max(jnp.abs(hermitize(S[..., :TD]) - R))
+        dp = jnp.max(jnp.abs(S[..., TD:] - P))
+        return jnp.stack([dr, dp])
+    dr, dp = np.asarray(f_check(Yr, Yi))
+    print(f'combined saves {1e3*(t_stats-t_comb):.1f} ms/iter '
+          f'(max R diff {dr:.2e}, P diff {dp:.2e})')
 
     for block in (32, 48, 60, 80, 120):
         bench(f'stats + solve block={block:3d} ', solve_at(block), Yr, Yi)

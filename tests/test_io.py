@@ -193,3 +193,15 @@ def test_legacy_audioread(tmp_path):
     import pytest
     with pytest.raises(ValueError, match='Requested sampling rate'):
         audioread(p, expected_sample_rate=8000)
+
+
+def test_truncated_fmt_chunk_diagnostic(tmp_path):
+    """A WAV cut off inside the fmt chunk must raise the ValueError the
+    legacy-read diagnostics understand, not a raw struct.error."""
+    import struct
+    import pytest
+    bad = tmp_path / 'cut.wav'
+    bad.write_bytes(b'RIFF' + struct.pack('<I', 100) + b'WAVE'
+                    + b'fmt ' + struct.pack('<I', 16) + b'\x01\x00')
+    with pytest.raises(ValueError, match='truncated fmt chunk'):
+        load_audio(bad)
