@@ -162,9 +162,13 @@ def _bf_stage(Obs_fdt, masks, target_index, config: GssConfig,
         keep = keep & frame_mask
     masks = masks * keep[None, None, :].astype(masks.dtype)
 
-    target_mask = jnp.take_along_axis(
-        masks, jnp.full((F, 1, T), target_index, dtype=jnp.int32), axis=1
-    )[:, 0, :]                                             # (F, T)
+    # one-hot mask-and-reduce, NOT take_along_axis: a traced-index
+    # gather costs ~10-70 ms on the axon runtime (see
+    # docs/ARCHITECTURE.md "axon-runtime rules"); the masked sum is
+    # exact (single nonzero term)
+    K = masks.shape[1]
+    onehot = (jnp.arange(K) == target_index).astype(masks.dtype)
+    target_mask = jnp.sum(masks * onehot[None, :, None], axis=1)  # (F, T)
     distortion_mask = jnp.sum(masks, axis=1) - target_mask
 
     noise_mask = masks[:, -1, :] if config.bf.startswith('lcmv') else None

@@ -592,7 +592,11 @@ def dominant_eigenvector(M, *, squarings=14, power_steps=2,
     # shrink the contamination the finite squaring left behind.
     norms = jnp.linalg.norm(P, axis=-2)
     pick = jnp.argmax(norms, axis=-1)
-    v = jnp.take_along_axis(P, pick[..., None, None], axis=-1)[..., 0]
+    # one-hot mask-and-reduce, NOT take_along_axis: a traced-index
+    # gather costs ~10-70 ms on the axon runtime (measured 16 ms for
+    # the analogous target-mask gather in models/gss.py)
+    onehot = (jnp.arange(P.shape[-1]) == pick[..., None]).astype(P.dtype)
+    v = jnp.sum(P * onehot[..., None, :], axis=-1)
 
     def power(_, v):
         v = jnp.einsum('...de,...e->...d', M, v, precision=precision)
