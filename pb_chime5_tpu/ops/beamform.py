@@ -131,7 +131,13 @@ def mvdr_souden_vector(cov_x, cov_n, *, eps=1e-10, ref_channel=None,
     if ref_channel is None:
         ref_channel = _snr_optimal_reference_channel(
             mat, cov_x, cov_n, eps, snr_reduce=snr_reduce)
-    w = jnp.take(mat, ref_channel, axis=-1)
+    # one-hot mask-and-reduce, NOT jnp.take: the argmax-selected channel
+    # is a traced index, and a traced-index gather costs ~10-70 ms on
+    # the axon runtime (docs/ARCHITECTURE.md "axon-runtime rules"); the
+    # masked sum is exact (single nonzero term) and also handles a
+    # static user-specified ref_channel (constant-folded one-hot)
+    onehot = (jnp.arange(mat.shape[-1]) == ref_channel).astype(mat.dtype)
+    w = jnp.sum(mat * onehot, axis=-1)
     if return_ref_channel:
         return w, ref_channel
     return w
