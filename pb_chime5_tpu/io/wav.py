@@ -76,7 +76,14 @@ def _parse_header(f, path):
             (audio_format, channels, sample_rate, _, _,
              bits_per_sample) = struct.unpack('<HHIIHH', fmt_data[:16])
             if audio_format == _FMT_EXTENSIBLE and chunk_size >= 40:
-                # sub-format GUID's first 2 bytes carry the real format
+                # sub-format GUID's first 2 bytes carry the real format;
+                # guard on bytes actually read, not the declared size (a
+                # file truncated inside the fmt chunk must raise the
+                # ValueError above's style, not a raw struct.error)
+                if len(fmt_data) < 26:
+                    raise ValueError(
+                        f'{path}: truncated fmt chunk ({len(fmt_data)} '
+                        f'of {chunk_size} bytes)')
                 audio_format = struct.unpack('<H', fmt_data[24:26])[0]
             fmt = (audio_format, channels, sample_rate, bits_per_sample)
         elif chunk_id == b'data':

@@ -25,6 +25,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 # float32 MXU precision for every PSD/quadratic-form contraction (TPU's
 # default bf16 matmul precision is not sufficient for D x D covariance
@@ -128,9 +129,21 @@ def mvdr_souden_vector(cov_x, cov_n, *, eps=1e-10, ref_channel=None,
     phi = hermitian_solve(cov_n, cov_x)
     lam = jnp.trace(phi, axis1=-2, axis2=-1).real[..., None, None]
     mat = phi / jnp.maximum(lam, eps).astype(phi.dtype)
+    D = mat.shape[-1]
     if ref_channel is None:
         ref_channel = _snr_optimal_reference_channel(
             mat, cov_x, cov_n, eps, snr_reduce=snr_reduce)
+    elif isinstance(ref_channel, (int, np.integer)):
+        # numpy-take semantics for a user-supplied static index: resolve
+        # negatives, reject out-of-range (the one-hot reduction below
+        # would otherwise silently return an all-zero beamformer)
+        if not -D <= ref_channel < D:
+            raise ValueError(
+                f'ref_channel {ref_channel} out of range for D={D}')
+        ref_channel = ref_channel % D
+    else:
+        # traced index: clamp into [-D, D-1] then wrap negatives
+        ref_channel = jnp.clip(ref_channel, -D, D - 1) % D
     # one-hot mask-and-reduce, NOT jnp.take: the argmax-selected channel
     # is a traced index, and a traced-index gather costs ~10-70 ms on
     # the axon runtime (docs/ARCHITECTURE.md "axon-runtime rules"); the

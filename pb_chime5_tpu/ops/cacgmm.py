@@ -376,7 +376,15 @@ def _cacgmm_posteriors_pallas(Y, initialization, source_activity_mask,
                               frame_mask, config: CacgmmConfig):
     """Full-F driver around the fused Pallas E+M kernel (the kernel owns
     the F axis in its grid, so no vmap here; the per-iteration covariance
-    inverse stays in XLA, batched over (F, K))."""
+    inverse stays in XLA, batched over (F, K)).
+
+    Precondition: ``initialization`` (K, T) must be column-normalized over
+    classes (sum_k init[k, t] == 1 where any class is active).  The fused
+    first M-step feeds it through the E-step's per-frame normalization
+    (identity precisions -> gamma == init only when already normalized);
+    an unnormalized initialization would make this backend diverge from
+    the XLA one, so it is normalized defensively below —
+    ``make_initialization`` already guarantees it."""
     from pb_chime5_tpu.ops.pallas.fused_em import (
         fused_em_scatter_prepared, prepare_activity, prepare_em_inputs)
 
@@ -413,7 +421,9 @@ def _cacgmm_posteriors_pallas(Y, initialization, source_activity_mask,
     # scatter equals the reference's initialization-driven first fit
     # step (core.py:156-163) without materializing the unfused
     # (F, K, T, D) weighted intermediate.
-    act_init = prepare_activity(initialization.astype(rdtype), T, K)
+    init = initialization.astype(rdtype)
+    init = init / jnp.maximum(jnp.sum(init, axis=0, keepdims=True), tiny)
+    act_init = prepare_activity(init, T, K)
     eye = jnp.broadcast_to(jnp.eye(D, dtype=z.dtype), (F, K, D, D))
     params0 = (jnp.zeros((F, K), rdtype), eye, jnp.zeros((F, K), rdtype))
     S0, den0 = fused_em_scatter_prepared(z2m, act_init, fm2, params0, D=D)

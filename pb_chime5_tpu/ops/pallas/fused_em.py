@@ -192,11 +192,20 @@ def fused_em_scatter_prepared(z2, act, fm, params, *, D, time_tile=None,
         interpret = jax.default_backend() != 'tpu'
     if time_tile is None:
         # z2 is already padded to a tile multiple by prepare_em_inputs;
-        # recover the same resolution from the ORIGINAL length when it
-        # divides evenly, else the padded length IS one tile
-        time_tile = resolve_time_tile(z2.shape[1])
-        if z2.shape[1] % time_tile:
-            time_tile = z2.shape[1]
+        # recover the same resolution from the padded length when it
+        # divides evenly.  If prepare used a custom tile that the default
+        # resolution does not divide, fall back to the largest divisor of
+        # the padded length <= _MAX_TIME_TILE (NOT the whole length — a
+        # single tile over a long utterance would exceed VMEM), preferring
+        # sublane-aligned (multiple-of-8) divisors.
+        tp = z2.shape[1]
+        time_tile = resolve_time_tile(tp)
+        if tp % time_tile:
+            cap = min(tp, _MAX_TIME_TILE)
+            time_tile = next(
+                (t for t in range(cap - cap % 8, 0, -8) if tp % t == 0),
+                None) or next(
+                t for t in range(cap, 0, -1) if tp % t == 0)
     log_weight, precision, logdet = params
     F = z2.shape[0]
     K = log_weight.shape[-1]

@@ -2,6 +2,7 @@
 
 import numpy as np
 import jax.numpy as jnp
+import pytest
 
 from pb_chime5_tpu.ops import (
     psd_matrix, mvdr_souden_vector, gev_vector, lcmv_vector,
@@ -147,3 +148,23 @@ def test_condense_mask_median():
     # 2-D input is a plain transpose
     got2 = np.asarray(condense_mask(jnp.asarray(m[0])))
     np.testing.assert_allclose(got2, m[0].T)
+
+
+def test_mvdr_explicit_ref_channel_indexing(rng):
+    """User-supplied ref_channel follows numpy-take semantics: negative
+    indices resolve, out-of-range raises — instead of the one-hot
+    reduction silently returning an all-zero vector (ADVICE r2)."""
+    Y, x_mask, n_mask, *_ = _scene(rng)
+    cx = psd_matrix(jnp.asarray(Y), jnp.asarray(x_mask))
+    cn = psd_matrix(jnp.asarray(Y), jnp.asarray(n_mask))
+    D = cx.shape[-1]
+    w_last = np.asarray(mvdr_souden_vector(cx, cn, ref_channel=D - 1))
+    w_neg = np.asarray(mvdr_souden_vector(cx, cn, ref_channel=-1))
+    np.testing.assert_allclose(w_neg, w_last, atol=1e-12)
+    assert np.abs(w_last).max() > 0
+    with pytest.raises(ValueError, match='out of range'):
+        mvdr_souden_vector(cx, cn, ref_channel=D)
+    # traced out-of-range indices clamp (jnp.take semantics), never zero
+    w_clamped = np.asarray(mvdr_souden_vector(
+        cx, cn, ref_channel=jnp.int32(D + 3)))
+    np.testing.assert_allclose(w_clamped, w_last, atol=1e-12)

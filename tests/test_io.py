@@ -205,3 +205,18 @@ def test_truncated_fmt_chunk_diagnostic(tmp_path):
                     + b'fmt ' + struct.pack('<I', 16) + b'\x01\x00')
     with pytest.raises(ValueError, match='truncated fmt chunk'):
         load_audio(bad)
+
+
+def test_truncated_extensible_fmt_chunk_diagnostic(tmp_path):
+    """A WAVE_FORMAT_EXTENSIBLE header whose declared fmt size (40) exceeds
+    the bytes actually present must raise the truncated-fmt ValueError,
+    not a raw struct.error on the sub-format read (ADVICE r2)."""
+    import struct
+    import pytest
+    bad = tmp_path / 'cut_ext.wav'
+    # declared chunk_size=40 but only 20 fmt bytes on disk
+    fmt16 = struct.pack('<HHIIHH', 0xFFFE, 1, 16000, 32000, 2, 16)
+    bad.write_bytes(b'RIFF' + struct.pack('<I', 100) + b'WAVE'
+                    + b'fmt ' + struct.pack('<I', 40) + fmt16 + b'\x00' * 4)
+    with pytest.raises(ValueError, match='truncated fmt chunk'):
+        load_audio(bad)

@@ -88,3 +88,35 @@ def test_inverse2d_matches_xla_gj(rng):
                                atol=1e-5, rtol=1e-4)
     np.testing.assert_allclose(np.asarray(ld_k), np.asarray(ld_x),
                                rtol=1e-5)
+
+
+def test_fused_em_scatter_custom_tile_fallback(rng):
+    """fused_em_scatter_prepared called WITHOUT time_tile after a prepare
+    with a custom tile must resolve a bounded divisor of the padded length
+    (not one giant tile) and match the explicit-tile result (ADVICE r2)."""
+    from pb_chime5_tpu.ops.pallas.fused_em import (
+        _MAX_TIME_TILE, fused_em_scatter_prepared, prepare_em_inputs,
+        resolve_time_tile)
+
+    F, T, D, K = 2, 4500, 2, 2
+    tile = 1000          # padded length 5000; default resolution (2048)
+    #                      does not divide it -> fallback path
+    z = (rng.standard_normal((F, T, D))
+         + 1j * rng.standard_normal((F, T, D))).astype(np.complex64)
+    z = z / np.linalg.norm(z, axis=-1, keepdims=True)
+    act = (rng.random((K, T)) > 0.3)
+    act[-1] = True
+    z2, act_p, fm = prepare_em_inputs(z, act, None, K, time_tile=tile)
+    assert z2.shape[1] == 5000 and z2.shape[1] % resolve_time_tile(5000)
+    params = (jnp.zeros((F, K), jnp.float32),
+              jnp.broadcast_to(jnp.eye(D, dtype=jnp.complex64),
+                               (F, K, D, D)),
+              jnp.zeros((F, K), jnp.float32))
+    S_auto, den_auto = fused_em_scatter_prepared(
+        z2, act_p, fm, params, D=D, interpret=True)
+    S_ref, den_ref = fused_em_scatter_prepared(
+        z2, act_p, fm, params, D=D, time_tile=tile, interpret=True)
+    np.testing.assert_allclose(np.asarray(S_auto), np.asarray(S_ref),
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(den_auto), np.asarray(den_ref),
+                               atol=1e-5)
