@@ -4,8 +4,17 @@
 #   build extensions -> unit tests -> synthetic corpus -> DB json ->
 #   test_run -> kaldi_run shard -> fake CHiME-6 -> chime6 test_run ->
 #   RTTM run.
+#
+# Lanes (VERDICT r2 next #8):
+#   ./ci.sh        fast lane: tests marked -m "not slow" (<5 min on 1
+#                  CPU) + all end-to-end CLI runs below
+#   ./ci.sh full   full lane: the whole suite (slow included)
+# The `stress` lane (headline-scale parity, tens of minutes) is separate:
+#   python -m pytest tests/ -m stress
 set -euxo pipefail
 cd "$(dirname "$0")"
+
+LANE=${1:-fast}
 
 export JAX_PLATFORMS=cpu
 WORK=$(mktemp -d)
@@ -13,7 +22,11 @@ trap 'rm -rf "$WORK"' EXIT
 
 python setup.py build_ext --inplace
 
-python -m pytest tests/ -q -x
+if [ "$LANE" = full ]; then
+    python -m pytest tests/ -q -x
+else
+    python -m pytest tests/ -q -x -m "not slow"
+fi
 
 python - <<EOF
 import jax; jax.config.update('jax_platforms', 'cpu')

@@ -101,6 +101,38 @@ def _normalize_observations(y):
     return y / jnp.maximum(norm, tiny)
 
 
+def _trace_normalize(cov):
+    """Scale each class covariance to trace == D (the reference's pb_bss
+    conditioning, SURVEY.md section 2.9: 'trace-normalized for
+    conditioning').
+
+    The CACG density is scale-invariant in B (|cB|^-1 (z^H (cB)^-1 z)^-D
+    == |B|^-1 (z^H B^-1 z)^-D), so posteriors are mathematically
+    unchanged — but pinning trace(B) = D bounds the quadratic form
+    q = z^H B^-1 z >= ||z||^2 / lambda_max(B) >= 1/D, which kills a real
+    float32 failure mode: without it, an unlucky frequency can enter a
+    q-underflow -> coefficient-overflow feedback (B's scale grows each
+    M-step, q shrinks, 1/q explodes) that turns the whole bin NaN
+    (found on-chip in round 3).
+
+    A class with (numerically) ZERO scatter — a speaker silent in the
+    whole utterance window, so gamma == 0 everywhere — gets B = I
+    instead of 0: by the same scale invariance, B = c*I yields identical
+    posteriors for ANY c, and the identity keeps the class's precision
+    and logdet O(1) instead of at the float32 overflow edge
+    (tiny*I -> precision 8.5e37, logdet -349), which measurably NaN'd
+    under some XLA fusions.  NaN traces propagate (the zero test is
+    False for NaN), so this never masks an upstream error."""
+    D = cov.shape[-1]
+    rdtype = cov.real.dtype
+    tr = jnp.trace(cov, axis1=-2, axis2=-1).real[..., None, None] / D
+    is_zero = tr <= jnp.finfo(rdtype).tiny
+    eye = jnp.eye(D, dtype=cov.dtype)
+    return jnp.where(
+        is_zero, eye,
+        cov / jnp.where(is_zero, jnp.ones_like(tr), tr).astype(cov.dtype))
+
+
 def _m_step(z, gamma, quadratic_form, frame_mask, config):
     """One M-step for a single frequency.
 
@@ -124,15 +156,22 @@ def _m_step(z, gamma, quadratic_form, frame_mask, config):
     # gamma == 0 everywhere) yields 0 / tiny = 0 instead of NaN.  (A chained
     # ``a / max(b, tiny) / max(c, tiny)`` is unsafe: XLA fuses it into a
     # reciprocal of the product and tiny * tiny underflows to 0.)
-    coeff = gamma / jnp.maximum(
-        denom[:, None] * quadratic_form, tiny)             # (K, T) real
+    # The outer where() pins coeff to EXACTLY 0 wherever gamma == 0,
+    # whatever XLA turns the division into: measured on CPU, some fusions
+    # of this expression produced NaN for an all-zero class (0 * inf from
+    # a rearranged reciprocal) even though the written form cannot —
+    # a select is the only fusion-proof guard (round 3, empty-class NaN).
+    coeff = jnp.where(
+        gamma > 0,
+        gamma / jnp.maximum(denom[:, None] * quadratic_form, tiny),
+        jnp.zeros((), rdtype))                             # (K, T) real
     # One batched matmul over the class axis (the transient (K, T, D)
     # weighted copy of z is cheap; keeping K inside the graph instead of a
     # Python loop cuts XLA compile time by an order of magnitude).
     weighted = z[None, :, :] * coeff[:, :, None].astype(z.dtype)  # (K,T,D)
     scatter = jnp.einsum('ktd,te->kde', weighted, z.conj(),
                          precision=_HIGHEST)               # (K, D, D)
-    cov = hermitize(scatter * D)
+    cov = _trace_normalize(hermitize(scatter * D))
     precision, logdet = _invert(cov, config)
     return log_weight, precision, logdet.astype(rdtype)
 
@@ -309,8 +348,15 @@ def _fused_em_iteration(z, params, source_activity_mask, frame_mask,
 
     weight = denom / jnp.maximum(jnp.sum(denom), tiny)
     log_weight = jnp.log(jnp.maximum(weight, tiny))
-    cov = hermitize(
-        S * (D / jnp.maximum(denom, tiny))[:, None, None].astype(z.dtype))
+    # overflow-aware denominator floor: D / tiny overflows float32 to
+    # inf, and an empty class (gamma == 0 everywhere -> S == 0,
+    # denom == 0) would then produce cov = 0 * inf = NaN that poisons
+    # every class in the next E-step.  The floor only binds when S is
+    # (numerically) zero, where any finite scale gives cov ~ 0 + jitter.
+    denom_floor = 2.0 * D / jnp.finfo(rdtype).max
+    cov = _trace_normalize(hermitize(
+        S * (D / jnp.maximum(denom, denom_floor))[:, None, None]
+        .astype(z.dtype)))
     precision, logdet = _invert(cov, config)
     return log_weight, precision, logdet.astype(rdtype)
 
@@ -404,9 +450,15 @@ def _cacgmm_posteriors_pallas(Y, initialization, source_activity_mask,
         weight = denom / jnp.maximum(
             jnp.sum(denom, axis=-1, keepdims=True), tiny)
         log_weight = jnp.log(jnp.maximum(weight, tiny))
-        cov = hermitize(
-            S * (D / jnp.maximum(denom, tiny))[..., None, None]
-            .astype(S.dtype))
+        # overflow-aware floor: D / tiny is inf in float32; an empty
+        # class (denom == 0 after the masked E-step, S == 0) must give
+        # cov 0 (+ jitter), not 0 * inf = NaN — which poisoned EVERY
+        # class from EM iteration 2 on for real sessions where a speaker
+        # is silent in the utterance window (found on-chip, round 3).
+        denom_floor = 2.0 * D / jnp.finfo(rdtype).max
+        cov = _trace_normalize(hermitize(
+            S * (D / jnp.maximum(denom, denom_floor))[..., None, None]
+            .astype(S.dtype)))
         precision, logdet = _invert(cov, config, batched=True)
         return log_weight, precision, logdet.astype(rdtype)
 

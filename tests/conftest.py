@@ -31,3 +31,24 @@ import pytest
 @pytest.fixture
 def rng():
     return np.random.default_rng(0)
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        'markers', 'fast: quick test (auto-applied to everything not '
+        'marked slow/stress); the ci.sh fast lane runs -m "not slow"')
+    config.addinivalue_line(
+        'markers', 'slow: heavy integration/scale test (full lane only)')
+    config.addinivalue_line(
+        'markers', 'stress: headline-scale parity run, tens of minutes; '
+        'excluded from both lanes, run via pytest -m stress')
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        if 'slow' not in item.keywords and 'stress' not in item.keywords:
+            item.add_marker(pytest.mark.fast)
+        # stress tests are opt-in: skip them unless -m selects them
+        if 'stress' in item.keywords and not config.option.markexpr:
+            item.add_marker(pytest.mark.skip(
+                reason='stress lane: run with -m stress'))

@@ -191,3 +191,38 @@ def test_pallas_em_long_utterance_multi_tile(rng):
         config=CacgmmConfig(iterations=3, iterations_post=1,
                             em_backend='pallas')))
     np.testing.assert_allclose(got, ref, atol=2e-3)
+
+
+def test_empty_activity_class_stays_finite(rng):
+    """A class whose activity is all-zero inside the utterance window (a
+    speaker silent in this segment — routine in real sessions) must not
+    poison the EM.  Found on-chip in round 3: the accumulate-then-scale
+    drivers computed cov = S * (D / max(denom, tiny)) where D/tiny
+    overflows float32, so the empty class produced 0 * inf = NaN from
+    iteration 2 on and EVERY class's posterior went NaN.  The
+    per-frequency XLA _m_step divides per-frame and was immune."""
+    F, T, D, K = 8, 200, 4, 4
+    Y = (rng.standard_normal((F, T, D))
+         + 1j * rng.standard_normal((F, T, D))).astype(np.complex64)
+    act = np.zeros((K, T), bool)
+    act[0, :120] = True
+    act[1, 80:] = True
+    # classes 2 is empty; class 3 (noise) always on
+    act[3] = True
+    fm = np.arange(T) < 180
+    for backend in ('xla', 'pallas'):
+        for fmv in (None, fm):
+            got = np.asarray(cacgmm_posteriors(
+                jnp.asarray(Y), jnp.asarray(act),
+                config=CacgmmConfig(iterations=5, iterations_post=1,
+                                    em_backend=backend),
+                frame_mask=fmv))
+            assert np.isfinite(got).all(), (backend, fmv is not None)
+            # the empty class must end up with (numerically) no mass
+            assert got[:, 2, :].max() < 1e-3, got[:, 2, :].max()
+    # and the chunked accumulation driver (bounded-HBM variant) too
+    got = np.asarray(cacgmm_posteriors(
+        jnp.asarray(Y), jnp.asarray(act),
+        config=CacgmmConfig(iterations=5, iterations_post=1,
+                            em_backend='xla', em_chunk_size=64)))
+    assert np.isfinite(got).all()

@@ -307,6 +307,7 @@ def test_enhance_session_mesh_matches_serial(corpus, tmp_path):
             f'mesh output differs from serial for {a.name}'
 
 
+@pytest.mark.slow
 def test_enhance_session_mesh_data_freq_wpe(corpus, tmp_path):
     """Mesh session driver over a combined data x freq (4x2) mesh with
     WPE on and 2 utterances per device: outputs close to the serial path

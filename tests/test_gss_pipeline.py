@@ -1,6 +1,7 @@
 """Fused GSS pipeline: end-to-end separation on synthetic scenes."""
 
 import numpy as np
+import pytest
 import jax.numpy as jnp
 
 from pb_chime5_tpu.models import GssConfig, gss_enhance, GssPipeline
@@ -62,6 +63,7 @@ def sir_improvement(obs, x_hat, b0, b1, N):
     return sir_out / sir_in
 
 
+@pytest.mark.slow
 def test_end_to_end_mvdr(rng):
     config = GssConfig(wpe=True, bss_iterations=10)
     obs, activity, (b0, b1) = make_scene(rng)
@@ -76,6 +78,7 @@ def test_end_to_end_mvdr(rng):
     assert sir_improvement(obs, x_hat, b0, b1, obs.shape[1]) > 30
 
 
+@pytest.mark.slow
 def test_end_to_end_gev(rng):
     config = GssConfig(wpe=False, bss_iterations=10, bf='gev_ban')
     obs, activity, (b0, b1) = make_scene(rng)
@@ -125,6 +128,7 @@ def test_postfilter_mask_mul(rng):
     assert np.all(np.isfinite(np.asarray(x)))
 
 
+@pytest.mark.slow
 def test_padded_bucket_matches_exact(rng):
     """GssPipeline with length buckets == exact-length result.
 
@@ -147,6 +151,7 @@ def test_padded_bucket_matches_exact(rng):
     np.testing.assert_allclose(x_bucket / scale, x_exact / scale, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_padded_bucket_f32_sane(rng):
     """float32 bucketed output stays strongly correlated with exact."""
     config = GssConfig(wpe=True, bss_iterations=5)
@@ -181,6 +186,7 @@ def test_ch2_and_sum_beamformers(rng):
         assert np.all(np.isfinite(np.asarray(x)))
 
 
+@pytest.mark.slow
 def test_split_mode_matches_fused(rng):
     """compile_mode='fast_start' (three stage programs, complex staying
     on device) must match the fused program exactly."""
@@ -200,6 +206,7 @@ def test_split_mode_matches_fused(rng):
     np.testing.assert_array_equal(np.asarray(am), np.asarray(bm))
 
 
+@pytest.mark.slow
 def test_pipeline_warmup_both_modes():
     """GssPipeline.warmup AOT-compiles every bucket (parallel thread pool
     in fast_start mode) without executing anything."""

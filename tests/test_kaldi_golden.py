@@ -192,6 +192,7 @@ def kaldi_root(tmp_path, monkeypatch):
     return root
 
 
+@pytest.mark.slow
 def test_import_alignment_data_golden(kaldi_root, tmp_path):
     ali_dir = tmp_path / 'ali'
     ali_dir.mkdir()
@@ -234,6 +235,7 @@ def test_import_alignment_count_mismatch_raises(kaldi_root, tmp_path,
         import_alignment_data(ali_dir)
 
 
+@pytest.mark.slow
 def test_compute_scores_golden(kaldi_root, tmp_path):
     decode_dir = tmp_path / 'decode'
     hclg_dir = tmp_path / 'hclg'

@@ -49,7 +49,9 @@ def test_gauss_jordan_float32_ill_conditioned(rng):
     assert np.max(np.abs(resid)) < 1e5 * np.finfo(np.float32).eps * 100
 
 
-@pytest.mark.parametrize('d', [4, 24, 60, 240])
+@pytest.mark.parametrize('d', [
+    4, 24, 60, pytest.param(240, marks=pytest.mark.slow),
+])
 def test_hermitian_solve_matches_numpy(rng, d):
     # d <= 32 exercises the Gauss-Jordan path, d > 32 the recursive
     # Schur-complement (matmul) path — including non-power-of-two 60/240
@@ -112,7 +114,11 @@ def test_real_dtype_supported(rng):
     np.testing.assert_allclose(v, ref, atol=1e-8)
 
 
-@pytest.mark.parametrize('d', [64, 240, 33])
+@pytest.mark.parametrize('d', [
+    pytest.param(64, marks=pytest.mark.slow),
+    pytest.param(240, marks=pytest.mark.slow),
+    33,
+])
 def test_solve_from_panels_matches_assembled_solve(rng, d):
     """The panel-direct substitution (_solve_from_panels) must agree with
     the assembled-L path (blocked_cholesky + blocked_cholesky_solve) —

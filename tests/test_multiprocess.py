@@ -24,6 +24,8 @@ from pathlib import Path
 
 import pytest
 
+pytestmark = pytest.mark.slow   # spawns worker processes; full lane only
+
 REPO = Path(__file__).resolve().parents[1]
 WORKER = REPO / 'tests' / '_mp_worker.py'
 

@@ -13,7 +13,9 @@ def _random_hpd(rng, n, d, dtype=np.complex64):
     return B.astype(dtype)
 
 
-@pytest.mark.parametrize('d', [4, 8, 24])
+@pytest.mark.parametrize('d', [
+    4, 8, pytest.param(24, marks=pytest.mark.slow),
+])
 def test_inverse_matches_numpy(rng, d):
     B = _random_hpd(rng, 7, d)
     inv, ld = hermitian_inverse_and_logdet(jnp.asarray(B), interpret=True)

@@ -45,6 +45,7 @@ def test_batched_matches_single(rng):
     np.testing.assert_allclose(out[0], np.asarray(single0), atol=1e-4)
 
 
+@pytest.mark.slow
 def test_data_parallel_matches_batched(rng):
     obs, acts, tgts, valids, config, N = _batch(rng, B=8)
     mesh = make_mesh(data=8, freq=1)
@@ -71,6 +72,7 @@ def test_freq_parallel_matches_batched(rng):
     np.testing.assert_allclose(out_sharded, out_local, atol=1e-3)
 
 
+@pytest.mark.slow
 def test_freq_parallel_with_wpe_and_mvdr(rng):
     """Freq-sharded WPE+MVDR must match the unsharded batched program —
     the most complex sharded path gets the same parity assertion as the
@@ -89,6 +91,7 @@ def test_freq_parallel_with_wpe_and_mvdr(rng):
     np.testing.assert_allclose(out_sharded, out_local, atol=1e-3)
 
 
+@pytest.mark.slow
 def test_data_freq_mesh_parity_wpe_and_mvdr(rng):
     """Combined data x freq (4x2) mesh — the exact shape the driver's
     dryrun_multichip exercises — with WPE on, asserted against the
@@ -168,6 +171,7 @@ def test_file_queue_interleaved(tmp_path):
     assert set(out1) & set(out2) == set()
 
 
+@pytest.mark.slow
 def test_freq_sharded_with_pallas_em(rng):
     """The fused Pallas E+M kernel must compose with shard_map frequency
     sharding (each shard's kernel grid covers its F-slice); interpret

@@ -131,21 +131,29 @@ def test_valid_frame_mask_matches_samples_to_stft_frames():
     samples_to_stft_frames over a broad (samples, size, shift, fading)
     sweep (VERDICT r2 weak #3: the formula used to be triplicated)."""
     from pb_chime5_tpu.ops.stft import valid_frame_mask
+    import functools
     import itertools
+
+    import jax
     cases = 0
     for size_exp, k, fading in itertools.product(
             range(4, 11), (1, 2, 4, 8), (False, True)):
         size = 2 ** size_exp
         shift = size // k
-        for samples in list(range(1, 40)) + [
-                size - 1, size, size + 1, 997, 16000, 200000]:
-            want = max(1, samples_to_stft_frames(
-                samples, size, shift, fading=fading, pad=True))
-            T = want + 7
-            mask = np.asarray(valid_frame_mask(
-                jnp.int32(samples), T, size, shift, fading=fading))
-            got = int(mask.sum())
-            assert mask[:got].all() and not mask[got:].any()
-            assert got == want, (samples, size, shift, fading, got, want)
-            cases += 1
+        samples = np.array(list(range(1, 40)) + [
+            size - 1, size, size + 1, 997, 16000, 200000], np.int32)
+        wants = np.array([max(1, samples_to_stft_frames(
+            int(s), size, shift, fading=fading, pad=True))
+            for s in samples])
+        T = int(wants.max()) + 7
+        masks = np.asarray(jax.vmap(functools.partial(
+            valid_frame_mask, num_frames=T, size=size, shift=shift,
+            fading=fading))(jnp.asarray(samples)))
+        gots = masks.sum(axis=1)
+        # prefix property: every mask is a contiguous True prefix
+        assert (masks.cumsum(axis=1)[:, -1]
+                == masks.argmin(axis=1) + T * masks.all(axis=1)).all()
+        np.testing.assert_array_equal(
+            gots, wants, err_msg=f'{size=} {shift=} {fading=}')
+        cases += len(samples)
     assert cases >= 1000, cases

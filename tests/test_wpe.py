@@ -1,6 +1,7 @@
 """WPE: oracle parity + dereverberation actually reduces reverb."""
 
 import numpy as np
+import pytest
 import jax.numpy as jnp
 
 from pb_chime5_tpu.ops import wpe, stft
@@ -67,6 +68,7 @@ def test_wpe_reduces_tail_energy(rng):
     assert np.all(np.isfinite(X))
 
 
+@pytest.mark.slow
 def test_chunked_matches_unchunked(rng):
     """chunk_size statistics accumulation is numerically identical to the
     materialized path (same sums, different association only)."""
