@@ -122,3 +122,30 @@ def test_fused_em_scatter_custom_tile_fallback(rng):
                                atol=1e-5)
     np.testing.assert_allclose(np.asarray(den_auto), np.asarray(den_ref),
                                atol=1e-5)
+
+
+def test_chol_solve_matches_hermitian_solve(rng):
+    """In-VMEM blocked Cholesky solve (interpret mode) vs the XLA
+    equilibrated solve — same load, same equilibration.  On-chip this
+    kernel COMPILES and matches to 8e-7 at the WPE production shape but
+    loses 203 ms vs 54 ms to XLA (see docs/ARCHITECTURE.md round-3
+    ledger: the 262k sequential in-kernel factor steps dominate); it is
+    kept as the working exemplar of an in-VMEM blocked factorization
+    that this backend's Mosaic actually compiles."""
+    from pb_chime5_tpu.ops.pallas.chol_solve import hermitian_solve_pallas
+    from pb_chime5_tpu.ops.linalg import hermitian_solve
+
+    F, D, E = 3, 48, 6
+    A = rng.standard_normal((F, D, D)) \
+        + 1j * rng.standard_normal((F, D, D))
+    A = (A @ A.conj().transpose(0, 2, 1)).astype(np.complex64) \
+        + D * np.eye(D, dtype=np.complex64)
+    B = (rng.standard_normal((F, D, E))
+         + 1j * rng.standard_normal((F, D, E))).astype(np.complex64)
+    X_ref = np.asarray(hermitian_solve(
+        jnp.asarray(A), jnp.asarray(B), relative_load=1e-4))
+    X_pal = np.asarray(hermitian_solve_pallas(
+        jnp.asarray(A), jnp.asarray(B), relative_load=1e-4,
+        interpret=True))
+    err = np.abs(X_pal - X_ref).max() / np.abs(X_ref).max()
+    assert err < 1e-4, err
