@@ -13,6 +13,13 @@ Multi-process: either initialize jax.distributed (the default
 length-balanced shard then splits by process), or launch many jobs with
 ``PB_JOB_ID``/``PB_NUM_JOBS`` env vars (Kaldi-style striding — see
 kaldi_run.py).
+
+Multi-chip (one process, several local devices — e.g. a v5e-8 host):
+``with mesh=auto`` batches same-bucket utterances over all local chips
+through one sharded program per group (``with mesh=4`` uses the first 4;
+``mesh_freq=2`` adds frequency parallelism inside each utterance;
+``utterances_per_device=2`` stacks extra rows per chip).  Default
+``mesh=None`` is the single-device path.
 """
 
 import functools
@@ -40,7 +47,9 @@ def make_experiment(get_enhancer_fn=get_enhancer, default_storage='runs'):
     experiment = Experiment('Chime5 Array Enhancement',
                             default_storage_dir=default_storage)
     experiment.add_config_from_signature(get_enhancer_fn)
-    experiment.add_config({'session_id': 'dev', 'chime6': False})
+    experiment.add_config({'session_id': 'dev', 'chime6': False,
+                           'mesh': None, 'mesh_freq': 1,
+                           'utterances_per_device': 1})
     experiment.named_config('multiarray', {
         'bf_drop_context': True,
         'multiarray': True,
@@ -51,6 +60,20 @@ def make_experiment(get_enhancer_fn=get_enhancer, default_storage='runs'):
         cfg = dict(exp.config)
         chime6 = cfg.pop('chime6', False)
         session_id = cfg.pop('session_id')
+        mesh_cfg = cfg.pop('mesh', None)
+        mesh_freq = int(cfg.pop('mesh_freq', 1) or 1)
+        utterances_per_device = int(cfg.pop('utterances_per_device', 1))
+        mesh = None
+        if mesh_cfg not in (None, False, 'None'):
+            import jax
+            from pb_chime5_tpu.parallel import make_mesh
+            local = jax.local_devices()
+            n = len(local) if mesh_cfg in (True, 'auto') else int(mesh_cfg)
+            assert n % mesh_freq == 0, (n, mesh_freq)
+            mesh = make_mesh(data=n // mesh_freq, freq=mesh_freq,
+                             devices=local[:n])
+            print(f'Mesh: {n} local devices '
+                  f'(data={n // mesh_freq}, freq={mesh_freq})')
         if chime6:
             from pb_chime5_tpu.models.enhancer_chime6 import (
                 get_enhancer as get_enhancer_c6)
@@ -70,6 +93,8 @@ def make_experiment(get_enhancer_fn=get_enhancer, default_storage='runs'):
             dataset_slice=test_run,
             audio_dir_exist_ok=True,
             is_master=is_master(),
+            mesh=mesh,
+            utterances_per_device=utterances_per_device,
         )
         print('Finished experiment dir:', exp.run_dir)
 

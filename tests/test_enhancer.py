@@ -360,3 +360,28 @@ def test_enhance_session_mesh_resume_and_skip(corpus, tmp_path):
                              shard_fn=q2.shard, resume=True)
     assert {p.name: p.stat().st_mtime_ns
             for p in (tmp_path / 'audio' / 'dev').glob('*.wav')} == mtimes
+
+
+def test_run_cli_mesh_auto(corpus, tmp_path):
+    """CLI-level mesh mode: `with mesh=auto` batches over all 8 virtual
+    devices through the BatchDispatcher session driver."""
+    _, root, json_path = corpus
+    from pb_chime5_tpu.scripts.run import make_experiment
+    exp = make_experiment(default_storage=tmp_path / 'runs')
+    exp.run_commandline([
+        'main', 'with',
+        'session_id=S02',
+        f'database_path={json_path}',
+        'wpe=False',
+        'bss_iterations=2',
+        'context_samples=8000',
+        'length_buckets=(32000,)',
+        'mesh=auto',
+        'mesh_freq=2',
+        'utterances_per_device=1',
+    ])
+    wavs = list((exp.run_dir / 'audio' / 'dev').glob('*.wav'))
+    assert len(wavs) == 4, wavs
+    for w in wavs:
+        x = load_audio(w)
+        assert np.isfinite(x).all() and np.abs(x).max() > 0
