@@ -95,10 +95,17 @@ def make_initialization(activity, dtype=jnp.float32):
 
 
 def _normalize_observations(y):
-    """y (T, D) -> unit-norm rows z (T, D)."""
+    """y (T, D) -> unit-norm rows z (T, D).
+
+    All-zero rows (bucket-padding frames, digital silence) map to exact
+    zeros through a select: ``0 / max(0, tiny)`` is 0 in honest
+    arithmetic, but a fused fast-reciprocal of ``tiny`` can overflow to
+    inf and turn it into 0 * inf = NaN (the round-3 fusion-NaN class —
+    see docs/ARCHITECTURE.md)."""
     norm = jnp.linalg.norm(y, axis=-1, keepdims=True)
     tiny = jnp.finfo(norm.dtype).tiny
-    return y / jnp.maximum(norm, tiny)
+    return jnp.where(norm > tiny, y / jnp.maximum(norm, tiny),
+                     jnp.zeros((), y.dtype))
 
 
 def _trace_normalize(cov):
@@ -147,7 +154,9 @@ def _m_step(z, gamma, quadratic_form, frame_mask, config):
         gamma = gamma * frame_mask[None, :].astype(rdtype)
 
     denom = jnp.sum(gamma, axis=-1)                       # (K,)
-    weight = denom / jnp.maximum(jnp.sum(denom), tiny)
+    total = jnp.sum(denom)
+    weight = jnp.where(total > 0, denom / jnp.maximum(total, tiny),
+                       jnp.zeros((), rdtype))
     log_weight = jnp.log(jnp.maximum(weight, tiny))
 
     # B_k = D * sum_t coeff_kt z_t z_t^H  with
@@ -281,11 +290,25 @@ def _e_step(z, params, source_activity_mask):
         - D * jnp.log(quadratic_form)
         - logdet[:, None]
     )
+    # Mask in the LOG domain: the per-frame max is then taken over the
+    # ACTIVE classes, so after exp the best active class is exactly 1 and
+    # the normalizing sum is >= 1 — identical posteriors mathematically
+    # (softmax is shift-invariant), but no denormal-over-denormal
+    # normalization for frames whose most likely class is masked out.
+    # That arithmetic was the round-3 fusion-NaN source at production
+    # scale: x / max(s, tiny) with a denormal s can become x * inf under
+    # a fused fast-reciprocal.  The final select keeps all-masked frames
+    # (no active class) at exactly 0.
+    if source_activity_mask is not None:
+        log_pdf = jnp.where(source_activity_mask > 0, log_pdf,
+                            jnp.asarray(-1e30, log_pdf.dtype))
     log_pdf = log_pdf - jnp.max(log_pdf, axis=0, keepdims=True)
     gamma = jnp.exp(log_pdf).astype(rdtype)
     if source_activity_mask is not None:
         gamma = gamma * source_activity_mask.astype(rdtype)
-    gamma = gamma / jnp.maximum(jnp.sum(gamma, axis=0, keepdims=True), tiny)
+    s = jnp.sum(gamma, axis=0, keepdims=True)
+    gamma = jnp.where(s > 0.5, gamma / jnp.maximum(s, tiny),
+                      jnp.zeros((), rdtype))
     return gamma, quadratic_form
 
 
@@ -328,16 +351,24 @@ def _fused_em_iteration(z, params, source_activity_mask, frame_mask,
         q = jnp.maximum(jnp.einsum('ktd,td->kt', vz, zc.conj(),
                                    precision=_HIGHEST).real, tiny)
         log_pdf = log_weight[:, None] - D * jnp.log(q) - logdet[:, None]
+        # mask in the log domain + select-guarded normalization — the
+        # same fusion-proof formulation as _e_step (see its comment)
+        if len(inputs) > 2:
+            log_pdf = jnp.where(inputs[2], log_pdf,
+                                jnp.asarray(-1e30, log_pdf.dtype))
         log_pdf = log_pdf - jnp.max(log_pdf, axis=0, keepdims=True)
         gamma = jnp.exp(log_pdf).astype(rdtype)
         if len(inputs) > 2:
             gamma = gamma * inputs[2].astype(rdtype)
-        gamma = gamma / jnp.maximum(
-            jnp.sum(gamma, axis=0, keepdims=True), tiny)
+        s = jnp.sum(gamma, axis=0, keepdims=True)
+        gamma = jnp.where(s > 0.5, gamma / jnp.maximum(s, tiny),
+                          jnp.zeros((), rdtype))
         gamma = gamma * fmc[None, :].astype(rdtype)
-        # M-step accumulation (denominator division deferred)
+        # M-step accumulation (denominator division deferred); the
+        # select pins coeff to exactly 0 where gamma == 0 (q can sit at
+        # its tiny clamp on zero-padded frames — same reciprocal hazard)
         denom = denom + jnp.sum(gamma, axis=-1)
-        coeff = gamma / q
+        coeff = jnp.where(gamma > 0, gamma / q, jnp.zeros((), rdtype))
         weighted = zc[None, :, :] * coeff[:, :, None].astype(zc.dtype)
         S = S + jnp.einsum('ktd,te->kde', weighted, zc.conj(),
                            precision=_HIGHEST)
@@ -346,7 +377,9 @@ def _fused_em_iteration(z, params, source_activity_mask, frame_mask,
     init = (jnp.zeros((K, D, D), z.dtype), jnp.zeros((K,), rdtype))
     (S, denom), _ = jax.lax.scan(body, init, tuple(xs))
 
-    weight = denom / jnp.maximum(jnp.sum(denom), tiny)
+    total = jnp.sum(denom)
+    weight = jnp.where(total > 0, denom / jnp.maximum(total, tiny),
+                       jnp.zeros((), rdtype))
     log_weight = jnp.log(jnp.maximum(weight, tiny))
     # overflow-aware denominator floor: D / tiny overflows float32 to
     # inf, and an empty class (gamma == 0 everywhere -> S == 0,
@@ -447,8 +480,10 @@ def _cacgmm_posteriors_pallas(Y, initialization, source_activity_mask,
     act_1 = prepare_activity(None, T, K)
 
     def finalize(S, denom):
-        weight = denom / jnp.maximum(
-            jnp.sum(denom, axis=-1, keepdims=True), tiny)
+        total = jnp.sum(denom, axis=-1, keepdims=True)
+        weight = jnp.where(total > 0,
+                           denom / jnp.maximum(total, tiny),
+                           jnp.zeros((), rdtype))
         log_weight = jnp.log(jnp.maximum(weight, tiny))
         # overflow-aware floor: D / tiny is inf in float32; an empty
         # class (denom == 0 after the masked E-step, S == 0) must give

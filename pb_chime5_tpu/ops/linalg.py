@@ -140,6 +140,17 @@ def gauss_jordan_inverse_and_logdet(M):
     tiny = jnp.finfo(rdtype).tiny
     idx = jnp.arange(d)
 
+    # Pivot floor RELATIVE to the matrix scale, not absolute tiny: for an
+    # HPD input, a pivot below maxdiag * eps is pure rounding noise (the
+    # true Schur pivot is positive), and clamping it at tiny would make
+    # inv_piv ~ 8.5e37 whose rank-1 update overflows float32 to inf and
+    # NaNs the rest of the elimination.  The relative floor keeps the
+    # inverse <= ~1/(maxdiag * eps): large, finite, and the right
+    # magnitude for an effectively singular direction.
+    diag0 = jnp.einsum('...ii->...i', M).real
+    pivfloor = jnp.maximum(
+        jnp.max(diag0, axis=-1) * jnp.finfo(rdtype).eps, tiny)
+
     def body(p, carry):
         A, logdet = carry
         # One-hot mask-and-reduce extraction, NOT lax.dynamic_index_in_dim:
@@ -150,10 +161,8 @@ def gauss_jordan_inverse_and_logdet(M):
         row = jnp.sum(A * ec[:, None], axis=-2)
         col = jnp.sum(A * ec[None, :], axis=-1)
         pivot = jnp.sum(row * ec, axis=-1)
-        # HPD pivots are real-positive; guard the magnitude so a singular
-        # input yields a large-but-finite inverse instead of inf/NaN.
-        safe = jnp.where(jnp.abs(pivot) > tiny, pivot,
-                         jnp.asarray(tiny, A.dtype))
+        safe = jnp.where(jnp.abs(pivot) > pivfloor, pivot,
+                         pivfloor.astype(A.dtype))
         inv_piv = 1.0 / safe
         rown = row * inv_piv[..., None]                       # (..., d)
         # Rank-1 elimination zeroes row p and column p entirely
@@ -167,7 +176,7 @@ def gauss_jordan_inverse_and_logdet(M):
         A = (A
              + e.astype(A.dtype)[:, None] * rowfix[..., None, :]
              + colfix[..., :, None] * e.astype(A.dtype)[None, :])
-        logdet = logdet + jnp.log(jnp.maximum(pivot.real, tiny))
+        logdet = logdet + jnp.log(jnp.maximum(pivot.real, pivfloor))
         return A, logdet
 
     inv, logdet = jax.lax.fori_loop(
@@ -286,7 +295,14 @@ def _cholesky_panels(A, *, block=32, precision=None):
             col = jnp.sum(P * ec[None, :], axis=-1)           # (..., m)
             diag = jnp.sum(
                 col * (idx_row == p).astype(P.dtype), axis=-1).real
-            rpiv = jnp.sqrt(jnp.maximum(diag, tiny))
+            # Relative pivot floor (eps^2 of the equilibrated ~unit
+            # scale), NOT absolute tiny: a rounding-negative pivot
+            # clamped at tiny gives 1/sqrt(tiny) ~ 9e18 whose trailing
+            # updates overflow float32 to inf and NaN the factorization
+            # (observed with under-regularized WPE statistics); eps^2
+            # keeps the multipliers <= ~1/eps — large, finite, graceful.
+            rpiv = jnp.sqrt(jnp.maximum(
+                diag, jnp.finfo(rdtype).eps ** 2))
             # rows above the pivot inside the pivot block hold stale
             # already-eliminated values; masking them out of lcol keeps
             # them from feeding back into the updates (they would grow
