@@ -57,6 +57,11 @@ class GssConfig:
     # (F, taps*D, T) stacked signal; an int bounds HBM for batched /
     # very long inputs
     wpe_chunk_size: int = None
+    # MXU precision of the WPE statistics/tail contractions.  Keep
+    # 'highest': 'high' (3-pass bf16) NaNs on scenes with near-silent
+    # stretches and measures no faster where finite — see the measured
+    # dead-end note at the top of ops/wpe.py.
+    wpe_precision: str = 'highest'
 
     bss_iterations: int = 20
     bss_iterations_post: int = 1
@@ -140,6 +145,7 @@ def _wpe_stage(Obs_fdt, config: GssConfig, frame_mask):
         regularization=config.wpe_regularization,
         chunk_size=config.wpe_chunk_size,
         frame_mask=frame_mask,
+        precision=config.wpe_precision,
     )
 
 

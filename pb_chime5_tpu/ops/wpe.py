@@ -29,10 +29,28 @@ import functools
 import jax
 import jax.numpy as jnp
 
-# All statistics contractions run at float32 MXU precision: the TPU's
-# default bf16 matmul inputs destroy the conditioning of the taps*D
-# correlation matrices (Cholesky fails / NaNs at D=24, taps=10).
+# MXU precision of the statistics/tail contractions (the solve internals
+# are always HIGHEST).  Measured dead end — keep 'highest':
+#   * On a stationary scene (F=513, D=24, taps=10, T=2503;
+#     scripts_dev/bench_wpe_precision.py) HIGH (3-pass bf16) looked
+#     attractive: 238 vs 254 ms stft+wpe(3), rel 1.3e-3.
+#   * On a REALISTIC envelope-modulated scene (the bench scene, with
+#     near-silent stretches, inv_power spanning ~1e10) HIGH NaNs the
+#     WPE output outright (30.7M non-finite entries): the ~1e-3 bf16
+#     statistics noise exceeds the 1e-4 diagonal load 13x and breaks
+#     positive-definiteness of the weighted correlation matrices.
+#   * Tail-only HIGH (statistics kept at HIGHEST) is finite (rel
+#     5.3e-4) but saves NOTHING (251.3 vs 250.9 ms): the tail einsum
+#     is HBM-bound, not MXU-bound, so cheaper MXU passes don't show.
+#   * DEFAULT (1-pass bf16) NaNs even on the stationary scene.
+# The knob below is kept for experimentation; the production default is
+# 'highest' everywhere.
 _HIGHEST = jax.lax.Precision.HIGHEST
+_PRECISIONS = {
+    'highest': jax.lax.Precision.HIGHEST,
+    'high': jax.lax.Precision.HIGH,
+    'default': jax.lax.Precision.DEFAULT,
+}
 
 from pb_chime5_tpu.ops.linalg import (
     hermitize, hermitian_solve, stable_solve)
@@ -83,7 +101,7 @@ def get_power_inverse(X, psd_context: int = 0, frame_mask=None):
 
 
 def _wpe_iteration(Y, Y_tilde, inv_power, regularization,
-                   stats_backend='auto'):
+                   stats_backend='auto', precision=_HIGHEST):
     """One WPE filter update.  Y (F, D, T), Y_tilde (F, taps*D, T),
     inv_power (F, T) -> dereverberated X (F, D, T).
 
@@ -117,12 +135,12 @@ def _wpe_iteration(Y, Y_tilde, inv_power, regularization,
     else:
         weighted = Y_tilde * inv_power[:, None, :].astype(Y_tilde.dtype)
         R = hermitize(jnp.einsum('fit,fjt->fij', weighted,
-                                 Y_tilde.conj(), precision=_HIGHEST))
+                                 Y_tilde.conj(), precision=precision))
         P = jnp.einsum('fit,fjt->fij', weighted, Y.conj(),
-                       precision=_HIGHEST)
+                       precision=precision)
     G = _solve_G(R, P, regularization, inv_power.dtype)
     tail = jnp.einsum('fid,fit->fdt', G.conj(), Y_tilde,
-                      precision=_HIGHEST)
+                      precision=precision)
     return Y - tail
 
 
@@ -141,7 +159,7 @@ def _solve_G(R, P, regularization, rdtype):
 
 
 def _chunked_wpe_iteration(Y, inv_power, taps, delay, regularization,
-                           chunk_size, frame_mask):
+                           chunk_size, frame_mask, precision=_HIGHEST):
     """One WPE update accumulating R/P over T-chunks with lax.scan.
 
     Never materializes the full (F, taps*D, T) stacked signal — peak
@@ -180,9 +198,9 @@ def _chunked_wpe_iteration(Y, inv_power, taps, delay, regularization,
         w = jax.lax.dynamic_slice_in_dim(wp, c * chunk_size, chunk_size, 1)
         weighted = yt * w[:, None, :].astype(yt.dtype)
         R = R + jnp.einsum('fit,fjt->fij', weighted, yt.conj(),
-                           precision=_HIGHEST)
+                           precision=precision)
         P = P + jnp.einsum('fit,fjt->fij', weighted, yc.conj(),
-                           precision=_HIGHEST)
+                           precision=precision)
         return (R, P), None
 
     dim = taps * D
@@ -195,7 +213,7 @@ def _chunked_wpe_iteration(Y, inv_power, taps, delay, regularization,
     def tail_body(X, c):
         yt = chunk_tilde(c)
         tail = jnp.einsum('fid,fit->fdt', G.conj(), yt,
-                          precision=_HIGHEST)
+                          precision=precision)
         return X, tail
 
     _, tails = jax.lax.scan(tail_body, None, jnp.arange(num_chunks))
@@ -208,11 +226,12 @@ def _chunked_wpe_iteration(Y, inv_power, taps, delay, regularization,
     jax.jit,
     static_argnames=('taps', 'delay', 'iterations', 'psd_context',
                      'regularization', 'chunk_size', 'has_frame_mask',
-                     'stats_backend'))
+                     'stats_backend', 'precision'))
 def _wpe_impl(Y, taps, delay, iterations, psd_context, regularization,
               chunk_size, frame_mask, has_frame_mask,
-              stats_backend='auto'):
+              stats_backend='auto', precision='highest'):
     fm = frame_mask if has_frame_mask else None
+    prec = _PRECISIONS[precision]
     if chunk_size is None:
         Y_tilde = build_y_tilde(Y, taps, delay)
         if fm is not None:
@@ -221,12 +240,14 @@ def _wpe_impl(Y, taps, delay, iterations, psd_context, regularization,
         def body(_, X):
             inv_power = get_power_inverse(X, psd_context, fm)
             return _wpe_iteration(Y, Y_tilde, inv_power, regularization,
-                                  stats_backend=stats_backend)
+                                  stats_backend=stats_backend,
+                                  precision=prec)
     else:
         def body(_, X):
             inv_power = get_power_inverse(X, psd_context, fm)
             return _chunked_wpe_iteration(
-                Y, inv_power, taps, delay, regularization, chunk_size, fm)
+                Y, inv_power, taps, delay, regularization, chunk_size, fm,
+                precision=prec)
 
     X = jax.lax.fori_loop(0, iterations, body, Y)
     if fm is not None:
@@ -237,7 +258,7 @@ def _wpe_impl(Y, taps, delay, iterations, psd_context, regularization,
 def wpe(Y, *, taps: int = 10, delay: int = 2, iterations: int = 3,
         psd_context: int = 0, regularization: float = 1e-4,
         chunk_size: int = None, frame_mask=None,
-        stats_backend: str = 'auto'):
+        stats_backend: str = 'auto', precision: str = 'highest'):
     """Batched offline WPE.
 
     Args:
@@ -253,6 +274,13 @@ def wpe(Y, *, taps: int = 10, delay: int = 2, iterations: int = 3,
          24-channel production config) — required for batched or
          very-long-utterance processing.
 
+      precision: MXU precision of the statistics/tail contractions
+         ('highest' | 'high' | 'default').  Keep the default 'highest':
+         'high' NaNs on realistic scenes with near-silent stretches and
+         buys nothing where it is finite (HBM-bound tail) — see the
+         module-level dead-end note.  The solve internals always run at
+         HIGHEST.
+
     Returns:
       Dereverberated (F, D, T).
     """
@@ -261,4 +289,5 @@ def wpe(Y, *, taps: int = 10, delay: int = 2, iterations: int = 3,
                      regularization, chunk_size,
                      frame_mask if frame_mask is None
                      else jnp.asarray(frame_mask, dtype=bool),
-                     frame_mask is not None, stats_backend=stats_backend)
+                     frame_mask is not None, stats_backend=stats_backend,
+                     precision=precision)
