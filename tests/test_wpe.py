@@ -115,3 +115,27 @@ def test_pallas_stats_backend_matches_xla(rng):
                          stats_backend='pallas'))
     scale = np.abs(ref).max()
     np.testing.assert_allclose(got / scale, ref / scale, atol=2e-4)
+
+
+def test_precision_default_pinned_highest(rng):
+    """Regression guard for the round-3 measured dead end (see
+    docs/ARCHITECTURE.md "WPE MXU precision"): Precision.HIGH statistics
+    NaN on realistic scenes with near-silent stretches, so the
+    production default MUST stay 'highest' at both API levels.  The knob
+    itself must keep accepting every documented value (numerics are
+    identical off-TPU, where all precisions lower to the same f32 dots).
+    """
+    from pb_chime5_tpu.models.gss import GssConfig
+    import inspect
+    from pb_chime5_tpu.ops import wpe as wpe_fn
+
+    assert GssConfig().wpe_precision == 'highest'
+    assert inspect.signature(wpe_fn).parameters['precision'].default \
+        == 'highest'
+
+    Y = _random_reverberant(rng, F=4, D=2, T=50)
+    base = np.asarray(wpe(jnp.asarray(Y), taps=3, delay=1, iterations=2))
+    for prec in ('high', 'default'):
+        got = np.asarray(wpe(jnp.asarray(Y), taps=3, delay=1, iterations=2,
+                             precision=prec))
+        np.testing.assert_allclose(got, base, atol=1e-6)
