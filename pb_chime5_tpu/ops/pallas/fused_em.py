@@ -56,10 +56,11 @@ def resolve_time_tile(T, time_tile=None):
     return tp8 if tp8 <= _MAX_TIME_TILE else 2048
 
 
-def _kernel(z2_ref, pt2_ref, lw_ref, ld_ref, act_ref, fm_ref,
+def _kernel(z2_ref, z2t_ref, pt2_ref, lw_ref, ld_ref, act_ref, fm_ref,
             s4_ref, den_ref, *, K, D):
     KD = K * D
     z2 = z2_ref[0]                             # (Tt, 2D) = [zr | zi]
+    z2t = z2t_ref[0]                           # (2D, Tt) transposed copy
     pt2 = pt2_ref[0]                           # (2D, 2KD) real block rep
     lw, ld = lw_ref[0], ld_ref[0]              # (1, K)
     act = act_ref[...]                         # (Tt, K)
@@ -93,12 +94,18 @@ def _kernel(z2_ref, pt2_ref, lw_ref, ld_ref, act_ref, fm_ref,
     gamma = gamma * fm                         # M-step frame mask
 
     # M-step accumulation: S_k += sum_t (gamma/q) z z^H.  One deep dot
-    # produces all four real block products at once:
-    #   S4 = [wr wi]^T [zr zi]  ->  [[wr'zr, wr'zi], [wi'zr, wi'zi]]
+    # produces all four real block products at once, computed TRANSPOSED
+    #   S4^T = [zr zi]^T [wr wi]  (dim-1/dim-0 contraction with the
+    # pre-transposed z2t on the left).  The mathematically identical
+    # dim-0/dim-0 form dot(w2, z2) costs ~1.4 ms/iteration MORE at the
+    # headline shape: Mosaic must transpose the (Tt, 2KD) operand
+    # in-VMEM before the MXU, and the 6-pass HIGHEST decomposition
+    # amplifies it — measured 4.0 vs 1.5 ms against an equal-FLOP
+    # standard-form dot (scripts_dev/bench_em_scatter_form.py).
     coeff = gamma / q                          # (Tt, K)
     wc = dot(coeff, G.T, (1,))                 # (Tt, KD)
     w2 = jnp.concatenate([wc * ztr, wc * zti], axis=1)   # (Tt, 2KD)
-    s4 = dot(w2, z2, (0,))                     # (2KD, 2D)
+    s4 = dot(z2t, w2, (1,))                    # (2D, 2KD) = S4^T
     den = jnp.sum(gamma, axis=0, keepdims=True)   # (1, K)
 
     t = pl.program_id(1)
@@ -116,7 +123,7 @@ def _kernel(z2_ref, pt2_ref, lw_ref, ld_ref, act_ref, fm_ref,
 
 @functools.partial(jax.jit,
                    static_argnames=('K', 'D', 'time_tile', 'interpret'))
-def _scatter_call(z2, pt2, lw, ld, act, fm, *, K, D, time_tile,
+def _scatter_call(z2, z2t, pt2, lw, ld, act, fm, *, K, D, time_tile,
                   interpret):
     F, T, _ = z2.shape
     KD = K * D
@@ -127,6 +134,8 @@ def _scatter_call(z2, pt2, lw, ld, act, fm, *, K, D, time_tile,
         grid=(F, nt),
         in_specs=[
             pl.BlockSpec((1, time_tile, 2 * D), lambda f, t: (f, t, 0),
+                         memory_space=vmem),
+            pl.BlockSpec((1, 2 * D, time_tile), lambda f, t: (f, 0, t),
                          memory_space=vmem),
             pl.BlockSpec((1, 2 * D, 2 * KD), lambda f, t: (f, 0, 0),
                          memory_space=vmem),
@@ -140,17 +149,17 @@ def _scatter_call(z2, pt2, lw, ld, act, fm, *, K, D, time_tile,
                          memory_space=vmem),
         ],
         out_specs=(
-            pl.BlockSpec((1, 2 * KD, 2 * D), lambda f, t: (f, 0, 0),
+            pl.BlockSpec((1, 2 * D, 2 * KD), lambda f, t: (f, 0, 0),
                          memory_space=vmem),
             pl.BlockSpec((1, 1, K), lambda f, t: (f, 0, 0),
                          memory_space=vmem),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((F, 2 * KD, 2 * D), jnp.float32),
+            jax.ShapeDtypeStruct((F, 2 * D, 2 * KD), jnp.float32),
             jax.ShapeDtypeStruct((F, 1, K), jnp.float32),
         ),
         interpret=interpret,
-    )(z2, pt2, lw, ld, act, fm)
+    )(z2, z2t, pt2, lw, ld, act, fm)
     return s4, den
 
 
@@ -168,26 +177,31 @@ def prepare_activity(source_activity_mask, T, K, *, time_tile=None):
 def prepare_em_inputs(z, source_activity_mask, frame_mask, K, *,
                       time_tile=None):
     """Hoist the per-EM-run-constant kernel inputs (the padded [zr | zi]
-    planes and masks) out of the iteration loop."""
+    planes — in BOTH layouts, see the scatter-dot note in :func:`_kernel`
+    — and masks) out of the iteration loop.  Returns ``(zpack, act, fm)``
+    with ``zpack = (z2 (F, Tp, 2D), z2t (F, 2D, Tp))``."""
     F, T, D = z.shape
     time_tile = resolve_time_tile(T, time_tile)
     pad = (-T) % time_tile
     zr = jnp.pad(z.real.astype(jnp.float32), ((0, 0), (0, pad), (0, 0)))
     zi = jnp.pad(z.imag.astype(jnp.float32), ((0, 0), (0, pad), (0, 0)))
     z2 = jnp.concatenate([zr, zi], axis=-1)                  # (F, Tp, 2D)
+    z2t = jnp.transpose(z2, (0, 2, 1))                       # (F, 2D, Tp)
     fm = (jnp.ones((T,), jnp.float32) if frame_mask is None
           else jnp.asarray(frame_mask, jnp.float32))
     fm = jnp.pad(fm, (0, pad))[:, None]                      # (Tp, 1)
     act = prepare_activity(source_activity_mask, T, K,
                            time_tile=time_tile)
-    return z2, act, fm
+    return (z2, z2t), act, fm
 
 
-def fused_em_scatter_prepared(z2, act, fm, params, *, D, time_tile=None,
-                              interpret=None):
+def fused_em_scatter_prepared(zpack, act, fm, params, *, D,
+                              time_tile=None, interpret=None):
     """One fused E+M accumulation pass over inputs from
     :func:`prepare_em_inputs` (same ``time_tile`` as used there: the
-    padded length of z2 must be a multiple of it)."""
+    padded length of z2 must be a multiple of it).  ``zpack`` is the
+    ``(z2, z2t)`` layout pair returned by :func:`prepare_em_inputs`."""
+    z2, z2t = zpack
     if interpret is None:
         interpret = jax.default_backend() != 'tpu'
     if time_tile is None:
@@ -221,13 +235,16 @@ def fused_em_scatter_prepared(z2, act, fm, params, *, D, time_tile=None,
     ], axis=-2)                                              # (F, 2D, 2KD)
 
     s4, den = _scatter_call(
-        z2, pt2,
+        z2, z2t, pt2,
         jnp.asarray(log_weight, jnp.float32)[:, None, :],
         jnp.asarray(logdet, jnp.float32)[:, None, :],
         act, fm, K=K, D=D, time_tile=time_tile, interpret=interpret)
-    sr = s4[:, :KD, :D] + s4[:, KD:, D:]
-    si = s4[:, KD:, :D] - s4[:, :KD, D:]
-    S = (sr + 1j * si).astype(jnp.complex64).reshape(F, K, D, D)
+    # the kernel emits S4^T (F, 2D, 2KD); undo the real block rep in the
+    # transposed layout, then one cheap XLA transpose back to (F, KD, D)
+    sr = s4[:, :D, :KD] + s4[:, D:, KD:]
+    si = s4[:, :D, KD:] - s4[:, D:, :KD]
+    S = (jnp.transpose(sr + 1j * si, (0, 2, 1))
+         .astype(jnp.complex64).reshape(F, K, D, D))
     return S, den[:, 0, :]
 
 

@@ -108,16 +108,17 @@ def test_fused_em_scatter_custom_tile_fallback(rng):
     z = z / np.linalg.norm(z, axis=-1, keepdims=True)
     act = (rng.random((K, T)) > 0.3)
     act[-1] = True
-    z2, act_p, fm = prepare_em_inputs(z, act, None, K, time_tile=tile)
+    zpack, act_p, fm = prepare_em_inputs(z, act, None, K, time_tile=tile)
+    z2 = zpack[0]
     assert z2.shape[1] == 5000 and z2.shape[1] % resolve_time_tile(5000)
     params = (jnp.zeros((F, K), jnp.float32),
               jnp.broadcast_to(jnp.eye(D, dtype=jnp.complex64),
                                (F, K, D, D)),
               jnp.zeros((F, K), jnp.float32))
     S_auto, den_auto = fused_em_scatter_prepared(
-        z2, act_p, fm, params, D=D, interpret=True)
+        zpack, act_p, fm, params, D=D, interpret=True)
     S_ref, den_ref = fused_em_scatter_prepared(
-        z2, act_p, fm, params, D=D, time_tile=tile, interpret=True)
+        zpack, act_p, fm, params, D=D, time_tile=tile, interpret=True)
     np.testing.assert_allclose(np.asarray(S_auto), np.asarray(S_ref),
                                atol=1e-5)
     np.testing.assert_allclose(np.asarray(den_auto), np.asarray(den_ref),
