@@ -117,12 +117,15 @@ def _wpe_iteration(Y, Y_tilde, inv_power, regularization,
     """
     backend = stats_backend
     if backend == 'auto':
-        # measured on v5e (24ch headline): the fused Pallas statistics
-        # kernel is numerically exact but net-slower (293 vs 273 ms for
-        # stft+wpe) — the time-major transposes of the 2.5 GB stacked
-        # signal it needs cost more than the weighted-copy traffic it
-        # saves.  Kept as an option (and a tested example of the
-        # revisited-accumulation kernel pattern).
+        # measured on v5e (24ch headline), twice: the fused Pallas
+        # statistics kernel loses to XLA even after the round-3
+        # standard-form rewrite removed its hidden in-VMEM transpose
+        # (333 vs 250 ms stft+wpe(3); the original dim-0/dim-0 form
+        # measured 293 vs 273).  The R einsum is already AT the 6-pass
+        # MXU FLOP bound in XLA, so the fusion can only recover the
+        # weighted-copy HBM traffic (~3 ms/iter) and instead pays
+        # per-iteration time-major plane builds.  Kept as an option
+        # (and a tested example of the revisited-accumulation pattern).
         backend = 'xla'
     if backend == 'pallas':
         # fused single-pass statistics (ops/pallas/wpe_stats.py): reads

@@ -217,3 +217,25 @@ def test_pipeline_warmup_both_modes():
                       compile_mode=mode),
             length_buckets=(8000, 16000))
         pipe.warmup(3, 2)
+
+
+@pytest.mark.parametrize('bf', ['mvdrSouden_ban', 'gev_ban'])
+def test_silent_target_class_stays_finite(rng, bf):
+    """Target speaker fully silent in the utterance window: the EM gives
+    its class no mass, the target PSD is ~0, and the beamformer runs on
+    a (near-)zero target statistic.  Same empty-class family as the
+    round-3 on-chip NaN (tests/test_cacgmm.py:196) but through the FULL
+    fused program, covering the mask->PSD->MVDR/GEV tail.  The output
+    must be finite and essentially silent relative to the mixture."""
+    config = GssConfig(wpe=False, bss_iterations=4, bf=bf)
+    obs, activity, (b0, b1) = make_scene(rng, seconds=1.5, D=4)
+    activity[0, :] = False                # target class never active
+    act_f = activity_to_freq(activity, config)
+    x_hat, masks = gss_enhance(
+        jnp.asarray(obs), jnp.asarray(act_f, dtype=jnp.int8),
+        jnp.int32(0), config=config)
+    x_hat = np.asarray(x_hat)
+    assert np.all(np.isfinite(x_hat))
+    # de-facto silent: the masked class carries (numerically) no energy
+    assert np.sqrt((x_hat ** 2).mean()) < \
+        0.1 * np.sqrt((np.asarray(obs[0]) ** 2).mean())
