@@ -62,6 +62,12 @@ class GssConfig:
     # stretches and measures no faster where finite — see the measured
     # dead-end note at the top of ops/wpe.py.
     wpe_precision: str = 'highest'
+    # correlation-statistics formulation (see ops/wpe.py):
+    # 'auto' resolves to the fastest measured backend for the platform,
+    # 'real' = real-arithmetic Hermitian-blocked Grams, 'xla' = complex
+    # einsums, 'pallas' = fused statistics kernel (a measured dead end,
+    # kept as an option).
+    wpe_stats_backend: str = 'auto'
 
     bss_iterations: int = 20
     bss_iterations_post: int = 1
@@ -145,6 +151,7 @@ def _wpe_stage(Obs_fdt, config: GssConfig, frame_mask):
         regularization=config.wpe_regularization,
         chunk_size=config.wpe_chunk_size,
         frame_mask=frame_mask,
+        stats_backend=config.wpe_stats_backend,
         precision=config.wpe_precision,
     )
 

@@ -19,6 +19,15 @@ F there); here the whole thing is a single jitted program: the T
 contractions are (taps*D, T) x (T, taps*D) matmuls batched over F on the
 MXU, and the iteration loop is a ``lax.fori_loop``.
 
+The production statistics formulation (``stats_backend='real'``, the
+'auto' default) computes R in real arithmetic with the Hermitian
+structure exploited: real(R) as symmetric tap-group-blocked Grams
+(strictly-upper blocks mirrored, not computed) and imag(R) as A - A^T
+from one full real product — 25% less statistics MXU work than the
+4-real-dot lowering of the complex einsums, with bitwise-identical
+products (see :func:`_real_form_stats`).  Measured v5e headline shape:
+stft+wpe(3) 261 -> 239 ms (stationary) / 256 -> 243 ms (bench scene).
+
 A ``frame_mask`` argument supports padded utterance batches: padded frames
 are excluded from the statistics (their Ytilde columns are zero) and the
 output is zero there.
@@ -28,6 +37,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 # MXU precision of the statistics/tail contractions (the solve internals
 # are always HIGHEST).  Measured dead end — keep 'highest':
@@ -100,6 +110,130 @@ def get_power_inverse(X, psd_context: int = 0, frame_mask=None):
     return 1.0 / jnp.maximum(power, floor)
 
 
+def _tap_groups(taps: int, D: int, lane: int = 128):
+    """Split the ``taps`` delay taps into contiguous groups whose stacked
+    row count (group_taps * D) stays <= ``lane`` where possible.
+
+    The real-form statistics backend computes the correlation Gram on
+    tap-group strips: strip boundaries at multiples of D mean the strips
+    can be BUILT directly (no row-slicing of a materialized (taps*D, T)
+    stack), and group row counts close to the 128-lane MXU tile keep the
+    padding waste of the blocked dots at the same ~7% as the full Gram's
+    240 -> 256.  For D=24, taps=10 (production): two strips of 5 taps =
+    120 rows each.
+    """
+    per = max(1, lane // D)
+    groups = [range(s, min(s + per, taps)) for s in range(0, taps, per)]
+    return groups
+
+
+def _build_strip(Yp, group, delay: int):
+    """Stacked delayed rows for one tap group: (..., len(group)*D, T).
+
+    Same semantics as :func:`build_y_tilde` restricted to taps in
+    ``group`` (``Yp`` real or complex).
+    """
+    T = Yp.shape[-1]
+    parts = []
+    for tau in group:
+        shift = delay + tau
+        pad_width = [(0, 0)] * (Yp.ndim - 1) + [(shift, 0)]
+        parts.append(jnp.pad(Yp, pad_width)[..., :T])
+    return jnp.concatenate(parts, axis=-2)
+
+
+def _assemble_blocks(blocks):
+    """blocks[i][j] (F, r_i, c_j) -> (F, sum r_i, sum c_j)."""
+    return jnp.concatenate(
+        [jnp.concatenate(row, axis=-1) for row in blocks], axis=-2)
+
+
+def _real_form_stats(U, V, Yr, Yi, inv_power, precision):
+    """Weighted WPE correlation statistics in real arithmetic with the
+    Hermitian structure exploited.
+
+    U / V: lists of real/imaginary tap-group strips of the stacked
+    delayed signal (each (F, r_g, T), frame mask already applied);
+    Yr / Yi: (F, D, T) real/imag of the observation; inv_power: (F, T).
+    Returns (R, P) complex with R EXACTLY Hermitian by construction.
+
+    Math:  R = Ytilde diag(w) Ytilde^H  with  Ytilde = U + iV, real w:
+      real(R) = U w U^T + V w V^T   (symmetric),
+      imag(R) = V w U^T - (V w U^T)^T   (antisymmetric).
+    XLA lowers a complex dot to the same four real dots (measured:
+    complex (240,240) Gram = 4x the real-dot roofline at HIGHEST), so
+    every computed product and its accumulation order is identical to
+    the complex einsum path — computed entries are bitwise equal, and
+    mirrored entries are bitwise equal to their transposed partner
+    (exact Hermitian-ness replaces :func:`hermitize`).
+
+    The MXU win is the symmetric part: the lower-triangular tap-group
+    blocks B_ij = U_i w U_j^T + V_i w V_j^T (i >= j) are computed and
+    the strictly-upper blocks mirrored, saving the strictly-upper dots
+    (25% of the stats MXU at the production 2-strip split; the
+    antisymmetric part needs all blocks).  Measured on v5e (headline
+    shape, scripts_dev/bench_wpe_stats_form.py): stats 27.8 ->
+    ~21 ms/iteration.
+    """
+    w = inv_power
+    Uw = [u * w[:, None, :].astype(u.dtype) for u in U]
+    Vw = [v * w[:, None, :].astype(v.dtype) for v in V]
+    n = len(U)
+
+    def dot(a, b):
+        return jnp.einsum('fit,fjt->fij', a, b, precision=precision)
+
+    # symmetric real part: lower blocks only, mirror the rest
+    lower = {}
+    for i in range(n):
+        for j in range(i + 1):
+            lower[(i, j)] = dot(Uw[i], U[j]) + dot(Vw[i], V[j])
+    rr = [[lower[(i, j)] if i >= j
+           else jnp.swapaxes(lower[(j, i)], -1, -2)
+           for j in range(n)] for i in range(n)]
+    Rr = _assemble_blocks(rr)
+
+    # antisymmetric imaginary part: A = V w U^T fully, then A - A^T
+    A = _assemble_blocks(
+        [[dot(Vw[i], U[j]) for j in range(n)] for i in range(n)])
+    Ri = A - jnp.swapaxes(A, -1, -2)
+
+    Pr = _assemble_blocks(
+        [[dot(Uw[i], Yr) + dot(Vw[i], Yi)] for i in range(n)])
+    Pi = _assemble_blocks(
+        [[dot(Vw[i], Yr) - dot(Uw[i], Yi)] for i in range(n)])
+    return jax.lax.complex(Rr, Ri), jax.lax.complex(Pr, Pi)
+
+
+def _real_form_tail(G, U, V, precision):
+    """tail = G^H Ytilde from tap-group strips:  (F, D, T) complex.
+
+    G (F, taps*D, D) complex filter;  U/V strips as in
+    :func:`_real_form_stats`.  tail[d, t] = sum_i conj(G[i, d]) Yt[i, t]:
+      real = Gr^T U + Gi^T V,   imag = Gr^T V - Gi^T U.
+    """
+    Gr, Gi = jnp.real(G), jnp.imag(G)
+    tr = ti = 0.0
+    s = 0
+    for u, v in zip(U, V):
+        r = u.shape[-2]
+        gr, gi = Gr[:, s:s + r, :], Gi[:, s:s + r, :]
+        tr = tr + jnp.einsum('fid,fit->fdt', gr, u, precision=precision) \
+            + jnp.einsum('fid,fit->fdt', gi, v, precision=precision)
+        ti = ti + jnp.einsum('fid,fit->fdt', gr, v, precision=precision) \
+            - jnp.einsum('fid,fit->fdt', gi, u, precision=precision)
+        s += r
+    return jax.lax.complex(tr, ti)
+
+
+def _wpe_iteration_real(Y, U, V, Yr, Yi, inv_power, regularization,
+                        precision=_HIGHEST):
+    """One WPE filter update in the real-form statistics backend."""
+    R, P = _real_form_stats(U, V, Yr, Yi, inv_power, precision)
+    G = _solve_G(R, P, regularization, inv_power.dtype)
+    return Y - _real_form_tail(G, U, V, precision)
+
+
 def _wpe_iteration(Y, Y_tilde, inv_power, regularization,
                    stats_backend='auto', precision=_HIGHEST):
     """One WPE filter update.  Y (F, D, T), Y_tilde (F, taps*D, T),
@@ -115,19 +249,17 @@ def _wpe_iteration(Y, Y_tilde, inv_power, regularization,
     at ~1e4 with negligible effect on the prediction (documented
     deviation; set regularization=0 for reference-exact float64 behaviour).
     """
-    backend = stats_backend
-    if backend == 'auto':
-        # measured on v5e (24ch headline), twice: the fused Pallas
-        # statistics kernel loses to XLA even after the round-3
-        # standard-form rewrite removed its hidden in-VMEM transpose
-        # (333 vs 250 ms stft+wpe(3); the original dim-0/dim-0 form
-        # measured 293 vs 273).  The R einsum is already AT the 6-pass
-        # MXU FLOP bound in XLA, so the fusion can only recover the
-        # weighted-copy HBM traffic (~3 ms/iter) and instead pays
-        # per-iteration time-major plane builds.  Kept as an option
-        # (and a tested example of the revisited-accumulation pattern).
-        backend = 'xla'
-    if backend == 'pallas':
+    # note: 'auto' is resolved in _wpe_impl (to the real-form backend).
+    # The fused Pallas statistics kernel below is a measured dead end,
+    # twice (v5e, 24ch headline): it loses to XLA even after the round-3
+    # standard-form rewrite removed its hidden in-VMEM transpose
+    # (333 vs 250 ms stft+wpe(3); the original dim-0/dim-0 form
+    # measured 293 vs 273).  The R einsum is already AT the 6-pass
+    # MXU FLOP bound in XLA, so the fusion can only recover the
+    # weighted-copy HBM traffic (~3 ms/iter) and instead pays
+    # per-iteration time-major plane builds.  Kept as an option
+    # (and a tested example of the revisited-accumulation pattern).
+    if stats_backend == 'pallas':
         # fused single-pass statistics (ops/pallas/wpe_stats.py): reads
         # the stacked signal once per tile, never writes the weighted
         # (F, taps*D, T) copy to HBM
@@ -225,6 +357,113 @@ def _chunked_wpe_iteration(Y, inv_power, taps, delay, regularization,
     return Y - tail[..., :T]
 
 
+def _chunked_wpe_iteration_real(Y, inv_power, taps, delay, regularization,
+                                chunk_size, frame_mask,
+                                precision=_HIGHEST):
+    """One real-form WPE update accumulating strip-block statistics over
+    T-chunks with ``lax.scan`` (the chunked twin of
+    :func:`_wpe_iteration_real`; see :func:`_real_form_stats` for the
+    Hermitian block structure).  Peak scratch is one set of per-chunk
+    strips — the (F, taps*D, T) planes are never materialized."""
+    F, D, T = Y.shape
+    pad = (-T) % chunk_size
+    hist = delay + taps - 1
+    Yrp = jnp.pad(jnp.real(Y), ((0, 0), (0, 0), (hist, pad)))
+    Yip = jnp.pad(jnp.imag(Y), ((0, 0), (0, 0), (hist, pad)))
+    wp = jnp.pad(inv_power, ((0, 0), (0, pad)))
+    if frame_mask is not None:
+        fmp = jnp.pad(frame_mask, (0, pad))
+    num_chunks = (T + pad) // chunk_size
+    groups = _tap_groups(taps, D)
+    n = len(groups)
+    rows = [len(g) * D for g in groups]
+
+    def chunk_strips(Xp, c):
+        """Per-tap-group stacked delayed blocks for chunk c."""
+        start = c * chunk_size
+        strips = []
+        for g in groups:
+            parts = []
+            for tau in g:
+                shift = delay + tau
+                parts.append(jax.lax.dynamic_slice_in_dim(
+                    Xp, start + hist - shift, chunk_size, axis=2))
+            s = jnp.concatenate(parts, axis=1)
+            if frame_mask is not None:
+                m = jax.lax.dynamic_slice_in_dim(fmp, start, chunk_size, 0)
+                s = s * m[None, None, :].astype(s.dtype)
+            strips.append(s)
+        return strips
+
+    def dot(a, b):
+        return jnp.einsum('fit,fjt->fij', a, b, precision=precision)
+
+    def scan_body(carry, c):
+        lower, A, Pr, Pi = carry
+        U = chunk_strips(Yrp, c)
+        V = chunk_strips(Yip, c)
+        w = jax.lax.dynamic_slice_in_dim(wp, c * chunk_size, chunk_size, 1)
+        Uw = [u * w[:, None, :].astype(u.dtype) for u in U]
+        Vw = [v * w[:, None, :].astype(v.dtype) for v in V]
+        yr = jax.lax.dynamic_slice_in_dim(Yrp, c * chunk_size + hist,
+                                          chunk_size, axis=2)
+        yi = jax.lax.dynamic_slice_in_dim(Yip, c * chunk_size + hist,
+                                          chunk_size, axis=2)
+        lower = [[lower[i][j] + dot(Uw[i], U[j]) + dot(Vw[i], V[j])
+                  for j in range(i + 1)] for i in range(n)]
+        A = [[A[i][j] + dot(Vw[i], U[j]) for j in range(n)]
+             for i in range(n)]
+        Pr = [Pr[i] + dot(Uw[i], yr) + dot(Vw[i], yi) for i in range(n)]
+        Pi = [Pi[i] + dot(Vw[i], yr) - dot(Uw[i], yi) for i in range(n)]
+        return (lower, A, Pr, Pi), None
+
+    rdtype = Yrp.dtype
+    init = (
+        [[jnp.zeros((F, rows[i], rows[j]), rdtype) for j in range(i + 1)]
+         for i in range(n)],
+        [[jnp.zeros((F, rows[i], rows[j]), rdtype) for j in range(n)]
+         for i in range(n)],
+        [jnp.zeros((F, rows[i], D), rdtype) for i in range(n)],
+        [jnp.zeros((F, rows[i], D), rdtype) for i in range(n)],
+    )
+    (lower, A, Pr, Pi), _ = jax.lax.scan(
+        scan_body, init, jnp.arange(num_chunks))
+
+    Rr = _assemble_blocks(
+        [[lower[i][j] if i >= j else jnp.swapaxes(lower[j][i], -1, -2)
+          for j in range(n)] for i in range(n)])
+    Af = _assemble_blocks(A)
+    Ri = Af - jnp.swapaxes(Af, -1, -2)
+    R = jax.lax.complex(Rr, Ri)
+    P = jax.lax.complex(jnp.concatenate(Pr, axis=1),
+                        jnp.concatenate(Pi, axis=1))
+    G = _solve_G(R, P, regularization, inv_power.dtype)
+    Gr, Gi = jnp.real(G), jnp.imag(G)
+    Grs, Gis = [], []
+    s = 0
+    for r in rows:
+        Grs.append(Gr[:, s:s + r, :])
+        Gis.append(Gi[:, s:s + r, :])
+        s += r
+
+    def tail_body(_, c):
+        U = chunk_strips(Yrp, c)
+        V = chunk_strips(Yip, c)
+        tr = ti = 0.0
+        for gr, gi, u, v in zip(Grs, Gis, U, V):
+            tr = tr + jnp.einsum('fid,fit->fdt', gr, u,
+                                 precision=precision) \
+                + jnp.einsum('fid,fit->fdt', gi, v, precision=precision)
+            ti = ti + jnp.einsum('fid,fit->fdt', gr, v,
+                                 precision=precision) \
+                - jnp.einsum('fid,fit->fdt', gi, u, precision=precision)
+        return None, jax.lax.complex(tr, ti)
+
+    _, tails = jax.lax.scan(tail_body, None, jnp.arange(num_chunks))
+    tail = jnp.moveaxis(tails, 0, 2).reshape(F, D, num_chunks * chunk_size)
+    return Y - tail[..., :T]
+
+
 @functools.partial(
     jax.jit,
     static_argnames=('taps', 'delay', 'iterations', 'psd_context',
@@ -235,7 +474,32 @@ def _wpe_impl(Y, taps, delay, iterations, psd_context, regularization,
               stats_backend='auto', precision='highest'):
     fm = frame_mask if has_frame_mask else None
     prec = _PRECISIONS[precision]
-    if chunk_size is None:
+    if stats_backend == 'auto':
+        # measured on v5e, stft+wpe(3) at the headline shape
+        # (scripts_dev/bench_wpe_stats_form.py): the real-form
+        # Hermitian-blocked statistics win on both scene types
+        # (stationary 261 -> 239 ms, envelope-modulated bench scene
+        # 256 -> 243 ms, finite, deviation at solver-roundoff level).
+        stats_backend = 'real'
+    if chunk_size is None and stats_backend == 'real':
+        # real-form backend: tap-group strips of the real/imag planes,
+        # built once (loop-invariant); the complex (F, taps*D, T) stack
+        # is never materialized.
+        D = Y.shape[-2]
+        Yr, Yi = jnp.real(Y), jnp.imag(Y)
+        groups = _tap_groups(taps, D)
+        U = [_build_strip(Yr, g, delay) for g in groups]
+        V = [_build_strip(Yi, g, delay) for g in groups]
+        if fm is not None:
+            m = fm[None, None, :]
+            U = [u * m.astype(u.dtype) for u in U]
+            V = [v * m.astype(v.dtype) for v in V]
+
+        def body(_, X):
+            inv_power = get_power_inverse(X, psd_context, fm)
+            return _wpe_iteration_real(Y, U, V, Yr, Yi, inv_power,
+                                       regularization, precision=prec)
+    elif chunk_size is None:
         Y_tilde = build_y_tilde(Y, taps, delay)
         if fm is not None:
             Y_tilde = Y_tilde * fm[None, None, :].astype(Y_tilde.dtype)
@@ -245,6 +509,12 @@ def _wpe_impl(Y, taps, delay, iterations, psd_context, regularization,
             return _wpe_iteration(Y, Y_tilde, inv_power, regularization,
                                   stats_backend=stats_backend,
                                   precision=prec)
+    elif stats_backend == 'real':
+        def body(_, X):
+            inv_power = get_power_inverse(X, psd_context, fm)
+            return _chunked_wpe_iteration_real(
+                Y, inv_power, taps, delay, regularization, chunk_size, fm,
+                precision=prec)
     else:
         def body(_, X):
             inv_power = get_power_inverse(X, psd_context, fm)
@@ -276,6 +546,13 @@ def wpe(Y, *, taps: int = 10, delay: int = 2, iterations: int = 3,
          materializing the (F, taps*D, T) stacked signal (~2.6 GB for the
          24-channel production config) — required for batched or
          very-long-utterance processing.
+
+      stats_backend: correlation-statistics formulation.  'auto'
+         (default) resolves to 'real' — real-arithmetic Grams with the
+         Hermitian block structure exploited, the measured fastest (see
+         the module docstring).  'xla' = complex einsums; 'pallas' =
+         fused single-pass statistics kernel (measured dead end, kept
+         as an option).
 
       precision: MXU precision of the statistics/tail contractions
          ('highest' | 'high' | 'default').  Keep the default 'highest':

@@ -117,6 +117,77 @@ def test_pallas_stats_backend_matches_xla(rng):
     np.testing.assert_allclose(got / scale, ref / scale, atol=2e-4)
 
 
+def test_real_stats_backend_matches_xla(rng):
+    """The real-form Hermitian-blocked statistics backend computes the
+    same products as the complex einsum path.  In float64 the two agree
+    to ~1e-13 even after 3 iterations; in float32 the ill-conditioned
+    filter solve amplifies the differing complex-dot lowering on CPU
+    (on TPU both paths decompose to the same real dots)."""
+    F, D, T = 5, 14, 160          # taps*D = 140 > 128: multi-strip path
+    Yb = (rng.standard_normal((F, D, T))
+          + 1j * rng.standard_normal((F, D, T)))
+    kwargs = dict(taps=10, delay=2, iterations=3)
+    a64 = np.asarray(wpe(jnp.asarray(Yb), stats_backend='xla', **kwargs))
+    b64 = np.asarray(wpe(jnp.asarray(Yb), stats_backend='real', **kwargs))
+    np.testing.assert_allclose(b64, a64, atol=1e-10)
+
+    # float32: the two paths compute the same sums up to the complex-dot
+    # lowering of the platform; deviation is solver-amplified roundoff.
+    # The masked case keeps valid frames >> taps*D — at T_valid ~ taps*D
+    # the statistics are near-singular and amplification explodes (f64
+    # stays at 1e-11 there; checked while writing this test).
+    F2, T2 = 5, 400
+    Y = (rng.standard_normal((F2, D, T2))
+         + 1j * rng.standard_normal((F2, D, T2))).astype(np.complex64)
+    mask = np.r_[np.ones(T2 - 50, bool), np.zeros(50, bool)]
+    for kw in (dict(), dict(frame_mask=mask), dict(psd_context=2)):
+        a = np.asarray(wpe(jnp.asarray(Y), stats_backend='xla',
+                           **kwargs, **kw))
+        b = np.asarray(wpe(jnp.asarray(Y), stats_backend='real',
+                           **kwargs, **kw))
+        scale = np.abs(a).max()
+        np.testing.assert_allclose(b / scale, a / scale,
+                                   rtol=0, atol=5e-4)
+
+    # single-strip path (taps*D <= 128)
+    Y2 = (rng.standard_normal((4, 3, 80))
+          + 1j * rng.standard_normal((4, 3, 80))).astype(np.complex64)
+    a = np.asarray(wpe(jnp.asarray(Y2), taps=4, delay=1, iterations=2,
+                       stats_backend='xla'))
+    b = np.asarray(wpe(jnp.asarray(Y2), taps=4, delay=1, iterations=2,
+                       stats_backend='real'))
+    np.testing.assert_allclose(b, a, atol=1e-5)
+
+    # oracle parity with the real backend directly (float64, reg 0)
+    Yr = _random_reverberant(rng)
+    Xr = ref.wpe_np(Yr, taps=4, delay=2, iterations=3)
+    Xj = np.asarray(wpe(jnp.asarray(Yr), taps=4, delay=2, iterations=3,
+                        regularization=0.0, stats_backend='real'))
+    np.testing.assert_allclose(Xj, Xr, atol=1e-4, rtol=1e-4)
+
+
+def test_real_stats_chunked_matches_unchunked(rng):
+    """Chunked real-form statistics: same strip-block sums accumulated
+    per chunk (float64: reassociation only)."""
+    F, D, T = 5, 14, 150
+    Y = (rng.standard_normal((F, D, T))
+         + 1j * rng.standard_normal((F, D, T)))
+    kwargs = dict(taps=10, delay=2, iterations=3, stats_backend='real')
+    base = np.asarray(wpe(jnp.asarray(Y), **kwargs))
+    for chunk in (32, 150, 160):
+        c = np.asarray(wpe(jnp.asarray(Y), chunk_size=chunk, **kwargs))
+        np.testing.assert_allclose(c, base, atol=1e-8)
+    # chunked real vs chunked xla, and with a frame mask
+    mask = np.r_[np.ones(T - 20, bool), np.zeros(20, bool)]
+    a = np.asarray(wpe(jnp.asarray(Y), taps=10, delay=2, iterations=2,
+                       frame_mask=mask, chunk_size=32,
+                       stats_backend='xla'))
+    b = np.asarray(wpe(jnp.asarray(Y), taps=10, delay=2, iterations=2,
+                       frame_mask=mask, chunk_size=32,
+                       stats_backend='real'))
+    np.testing.assert_allclose(b, a, atol=1e-8)
+
+
 def test_precision_default_pinned_highest(rng):
     """Regression guard for the round-3 measured dead end (see
     docs/ARCHITECTURE.md "WPE MXU precision"): Precision.HIGH statistics
