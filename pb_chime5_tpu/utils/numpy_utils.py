@@ -14,7 +14,9 @@ import numpy as np
 from pb_chime5_tpu.utils.activity_freq import segment_axis  # noqa: F401
 
 __all__ = ['morph', 'pad_axis', 'roll_zeropad', 'labels_to_one_hot',
-           'Cutter', 'segment_axis']
+           'Cutter', 'segment_axis', 'tbf_to_tbchw', 'stack_context',
+           'unstack_context', 'split_complex_features',
+           'merge_complex_features']
 
 
 def _parse_morph_side(side):
@@ -208,3 +210,73 @@ class Cutter:
         idx[axis] = ~inside
         mask[tuple(idx)] = value
         return mask
+
+
+# ---------------------------------------------------------------------------
+# NN-feature context stacking (reference numpy_utils.py:374-479).  Used by
+# neural acoustic-model front-ends trained in frames mode; kept for API
+# completeness of the utils layer.
+
+def tbf_to_tbchw(x, left_context, right_context, step_width,
+                 pad_mode='symmetric', pad_kwargs=None):
+    """(T, B, F) features -> (T', B, C=1, H=F, W=window) convolution
+    layout with +-context frames as the filter width
+    (reference numpy_utils.py:448-479).
+
+    The time axis is padded ``(left_context, right_context)`` with
+    ``pad_mode`` and framed into windows of ``left + 1 + right`` frames
+    advancing by ``step_width``.
+    """
+    x = np.asarray(x)
+    x = np.pad(x, ((left_context, right_context), (0, 0), (0, 0)),
+               mode=pad_mode, **(pad_kwargs or {}))
+    window = left_context + right_context + 1
+    # (T', B, F, W) windows at stride step_width ('cut' tail semantics)
+    win = np.lib.stride_tricks.sliding_window_view(
+        x, window, axis=0)[::step_width]
+    return win[:, :, None, :, :]
+
+
+def stack_context(X, left_context=0, right_context=0, step_width=1):
+    """Stack (T, B, F) features with symmetric-padded context frames
+    concatenated along the feature axis, window-major:
+    ``out[t, b] = [X[t-l, b], ..., X[t, b], ..., X[t+r, b]]``
+    (reference numpy_utils.py:374-396).
+    """
+    tbchw = tbf_to_tbchw(X, left_context=left_context,
+                         right_context=right_context,
+                         step_width=step_width)
+    # (T', B, F, W) -> (T', B, W, F) -> (T', B, W*F): window-major blocks
+    win_major = tbchw[:, :, 0].transpose(0, 1, 3, 2)
+    Tn, B, W, F = win_major.shape
+    return np.ascontiguousarray(win_major).reshape(Tn, B, W * F)
+
+
+def unstack_context(X, mode, left_context=0, right_context=0,
+                    step_width=1):
+    """Inverse of :func:`stack_context` for ``mode='center'``: return the
+    center frame's feature block (reference numpy_utils.py:399-426; the
+    reference forgets to ``raise`` on other modes — here it raises).
+    """
+    assert step_width == 1, step_width
+    context_length = left_context + 1 + right_context
+    assert X.shape[2] % context_length == 0, (X.shape, context_length)
+    F = X.shape[2] // context_length
+    if mode == 'center':
+        return X[:, :, left_context * F:(left_context + 1) * F]
+    raise NotImplementedError(
+        'All other unstack methods are not yet implemented.')
+
+
+def split_complex_features(X):
+    """(T, B, F) complex -> (T, B, 2F) real: [real | imag]
+    (reference numpy_utils.py:429-435)."""
+    return np.concatenate((np.asarray(X.real), np.asarray(X.imag)),
+                          axis=2)
+
+
+def merge_complex_features(X):
+    """(T, B, 2F) real [real | imag] -> (T, B, F) complex
+    (reference numpy_utils.py:438-445)."""
+    bins = X.shape[-1]
+    return X[:, :, :bins // 2] + 1j * X[:, :, bins // 2:]

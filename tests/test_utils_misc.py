@@ -262,3 +262,40 @@ def test_plot_activity(tmp_path):
     ai[16000:32000] = 1
     ax = plot_activity({'P01': ai})
     assert ax is not None
+
+
+def test_stack_context_window_major():
+    """stack_context concatenates context frames window-major with
+    symmetric edge padding (reference numpy_utils.py:374-396)."""
+    from pb_chime5_tpu.utils.numpy_utils import (
+        stack_context, unstack_context, tbf_to_tbchw)
+    T, B, F = 4, 2, 3
+    X = np.arange(T * B * F, dtype=float).reshape(T, B, F)
+    S = stack_context(X, left_context=1, right_context=1)
+    assert S.shape == (T, B, 3 * F)
+    # interior frame: [X[t-1], X[t], X[t+1]]
+    np.testing.assert_array_equal(
+        S[2, 0], np.concatenate([X[1, 0], X[2, 0], X[3, 0]]))
+    # symmetric pad at the head: X[-1] mirrors X[0]
+    np.testing.assert_array_equal(
+        S[0, 1], np.concatenate([X[0, 1], X[0, 1], X[1, 1]]))
+    # center unstack inverts
+    np.testing.assert_array_equal(
+        unstack_context(S, 'center', left_context=1, right_context=1), X)
+    with np.testing.assert_raises(NotImplementedError):
+        unstack_context(S, 'overlap', left_context=1, right_context=1)
+
+    # tbchw layout: (T', B, 1, F, W), step_width strides the windows
+    Y = tbf_to_tbchw(X, 1, 1, step_width=2)
+    assert Y.shape == (2, B, 1, F, 3)
+    np.testing.assert_array_equal(Y[1, 0, 0, :, 1], X[2, 0])
+
+
+def test_split_merge_complex_features():
+    from pb_chime5_tpu.utils.numpy_utils import (
+        split_complex_features, merge_complex_features)
+    rng = np.random.default_rng(0)
+    X = rng.standard_normal((3, 2, 5)) + 1j * rng.standard_normal((3, 2, 5))
+    S = split_complex_features(X)
+    assert S.shape == (3, 2, 10) and S.dtype.kind == 'f'
+    np.testing.assert_array_equal(merge_complex_features(S), X)
