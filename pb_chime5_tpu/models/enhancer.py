@@ -114,6 +114,14 @@ class Enhancer:
     reference_array: str = None
     length_buckets: tuple = DEFAULT_LENGTH_BUCKETS
     compute_dtype: object = np.float32
+    # device-resident rolling session-audio cache (models/audio_cache.py):
+    # serial session loops slice each utterance's window out of a resident
+    # chunk of session audio instead of uploading utterance + 30 s context
+    # every time (~4x the host->device bytes).  True | False; outputs are
+    # bit-identical either way (tested).  The mesh-batched loop always
+    # uploads directly.
+    device_audio_cache: bool = True
+    cache_window_seconds: float = 180.0
 
     def __post_init__(self):
         self._pipeline = GssPipeline(
@@ -121,6 +129,17 @@ class Enhancer:
             length_buckets=(list(self.length_buckets)
                             if self.length_buckets else None),
             dtype=self.compute_dtype)
+        self._audio_cache = None
+        if self.device_audio_cache:
+            from pb_chime5_tpu.models.audio_cache import SessionAudioCache
+
+            def coerce(a):
+                return self._pipeline._normalize_obs(a)
+
+            self._audio_cache = SessionAudioCache(
+                window_seconds=self.cache_window_seconds,
+                coerce=coerce,
+                bucket_length=self._pipeline.bucket_length)
 
     @property
     def db(self):
@@ -265,7 +284,10 @@ class Enhancer:
 
         todo = todo_gen()
 
-        prepare = self._prepare_example
+        import functools as _functools
+        prepare = (self._prepare_example if mesh is not None else
+                   _functools.partial(self._prepare_example,
+                                      use_cache=True))
 
         if mesh is not None:
             return self._session_loop_mesh(
@@ -486,10 +508,40 @@ class Enhancer:
             )
         raise ValueError(self.multiarray)
 
-    def _prepare_example(self, ex):
+    def _multiarray_selection(self, obs_paths, reference_array):
+        """(array ids in stacking order, channel selector) for the
+        configured ``multiarray`` mode — single source for the direct
+        loaders and the cache spans."""
+        if self.multiarray is True:
+            return sorted(obs_paths.keys()), slice(None)
+        if self.multiarray == 'outer_array_mics':
+            return sorted(obs_paths.keys()), [0, -1]
+        if self.multiarray == 'first_array_mics':
+            return sorted(obs_paths.keys()), [0]
+        if self.multiarray is False:
+            return [reference_array], slice(None)
+        raise ValueError(self.multiarray)
+
+    def _cache_spans(self, ex, reference_array):
+        """(paths, start, stop, channel_selector) per array in stacking
+        order — mirrors :meth:`_load_observation` exactly."""
+        obs_paths = ex['audio_path']['observation']
+        arrays, sel = self._multiarray_selection(obs_paths,
+                                                 reference_array)
+        return [(obs_paths[a], ex['start']['observation'][a],
+                 ex['end']['observation'][a], sel) for a in arrays]
+
+    def _prepare_example(self, ex, use_cache=False):
         """Host I/O part (runs on the prefetch thread): resolve the
-        reference array and read the observation audio."""
+        reference array and read the observation audio — or, when the
+        session-audio cache has the window resident, return a
+        :class:`CachedWindow` (device window + offsets) instead."""
         reference_array = self._resolve_reference_array(ex)
+        if use_cache and self._audio_cache is not None:
+            cached = self._audio_cache.lookup(
+                ex['session_id'], self._cache_spans(ex, reference_array))
+            if cached is not None:
+                return reference_array, cached
         return reference_array, self._load_observation(ex, reference_array)
 
     def enhance_example(self, ex):
@@ -547,9 +599,16 @@ class Enhancer:
         activity_freq, target_index, start_cf, end_cf = self._device_args(
             self._example_activity(ex, reference_array),
             ex['speaker_id'], ex)
-        handle = self._pipeline.dispatch(
-            obs, activity_freq, target_index,
-            start_context_frames=start_cf, end_context_frames=end_cf)
+        from pb_chime5_tpu.models.audio_cache import CachedWindow
+        if isinstance(obs, CachedWindow):
+            handle = self._pipeline.dispatch_cached(
+                obs.buf, obs.offsets, obs.num_valid_samples,
+                activity_freq, target_index,
+                start_context_frames=start_cf, end_context_frames=end_cf)
+        else:
+            handle = self._pipeline.dispatch(
+                obs, activity_freq, target_index,
+                start_context_frames=start_cf, end_context_frames=end_cf)
         return handle, self._trim(ex, reference_array)
 
     def _finish_dispatched(self, handle, trim):
@@ -610,6 +669,8 @@ def get_enhancer(
     length_buckets=DEFAULT_LENGTH_BUCKETS,
     compute_dtype=np.float32,
     compile_mode='fused',
+    device_audio_cache=True,
+    cache_window_seconds=180.0,
 ):
     """Factory with the reference's exact keyword surface
     (pb_chime5/core.py:574-637; the sacred CLI auto-derives its config
@@ -651,4 +712,6 @@ def get_enhancer(
         reference_array=reference_array,
         length_buckets=length_buckets,
         compute_dtype=compute_dtype,
+        device_audio_cache=device_audio_cache,
+        cache_window_seconds=cache_window_seconds,
     )

@@ -93,7 +93,22 @@ class Enhancer(_Chime5Enhancer):
             equal_start_context=False,
         )
 
-    def _prepare_example(self, ex):
+    def _cache_spans(self, ex, reference_array):
+        # flat clock: one global start/end for every array
+        obs_paths = ex['audio_path']['observation']
+        arrays, sel = self._multiarray_selection(obs_paths,
+                                                 reference_array)
+        return [(obs_paths[a], ex['start'], ex['end'], sel)
+                for a in arrays]
+
+    def _prepare_example(self, ex, use_cache=False):
+        if use_cache and self._audio_cache is not None:
+            ref = (self._resolve_reference_array(ex)
+                   if self.multiarray is False else None)
+            cached = self._audio_cache.lookup(
+                ex['session_id'], self._cache_spans(ex, ref))
+            if cached is not None:
+                return None, cached
         return None, self._load_observation_flat(ex)
 
     # flat-clock overrides of the base class's prep helpers; the shared

@@ -132,7 +132,7 @@ def test_shard_fn_consumed_lazily(tmp_path, monkeypatch):
             yield ex
 
     monkeypatch.setattr(enhancer, '_prepare_example',
-                        lambda ex: (None, None))
+                        lambda ex, use_cache=False: (None, None))
     monkeypatch.setattr(enhancer, '_dispatch_loaded',
                         lambda ex, ref, obs: (np.zeros(100, np.float32),
                                               None))
@@ -159,7 +159,7 @@ def test_on_error_skip(tmp_path, monkeypatch):
         return np.zeros(100, np.float32)
 
     monkeypatch.setattr(enhancer, '_prepare_example',
-                        lambda ex: (None, None))
+                        lambda ex, use_cache=False: (None, None))
     monkeypatch.setattr(enhancer, '_dispatch_loaded',
                         lambda ex, ref, obs: (boom(ex), None))
     monkeypatch.setattr(

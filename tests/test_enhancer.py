@@ -385,3 +385,73 @@ def test_run_cli_mesh_auto(corpus, tmp_path):
     for w in wavs:
         x = load_audio(w)
         assert np.isfinite(x).all() and np.abs(x).max() > 0
+
+
+def test_device_audio_cache_byte_identical(corpus, tmp_path):
+    """The device-resident session-audio cache (models/audio_cache.py)
+    must produce byte-identical WAVs to the direct per-utterance upload
+    path: the sliced window is the same file content, and the in-graph
+    zeroing beyond num_valid_samples mirrors the direct path's
+    zero-padding exactly."""
+    info, root, json_path = corpus
+    kw = dict(database_path=str(json_path), wpe=True, multiarray=True,
+              **SMALL)
+    off = get_enhancer(device_audio_cache=False, **kw)
+    off.enhance_session(['S02'], tmp_path / 'off', audio_dir_exist_ok=True)
+    on = get_enhancer(device_audio_cache=True, cache_window_seconds=20.0,
+                      **kw)
+    on.enhance_session(['S02'], tmp_path / 'on', audio_dir_exist_ok=True)
+    stats = on._audio_cache.stats
+    assert stats['hits'] > 0, stats          # the cache actually served
+    assert stats['refills'] == 1, stats      # 16 s session, 20 s window
+    wavs_off = sorted((tmp_path / 'off' / 'dev').glob('*.wav'))
+    wavs_on = sorted((tmp_path / 'on' / 'dev').glob('*.wav'))
+    assert [w.name for w in wavs_off] == [w.name for w in wavs_on]
+    assert len(wavs_off) >= 2
+    for a, b in zip(wavs_off, wavs_on):
+        assert a.read_bytes() == b.read_bytes(), a.name
+
+
+def test_audio_cache_policy(corpus, tmp_path):
+    """Cache policy: forward advance refills, two consecutive refills
+    disable (sparse/unordered schedules fall back to direct upload), a
+    session change resets."""
+    from pb_chime5_tpu.models.audio_cache import SessionAudioCache
+    from pb_chime5_tpu.io import dump_audio
+    fs = 16000
+    wav = tmp_path / 'long.wav'
+    rng = np.random.default_rng(0)
+    dump_audio(rng.standard_normal(fs * 30) * 0.1, wav)
+
+    def spans(start, n):
+        return [((str(wav),), start, start + n, slice(None))]
+
+    c = SessionAudioCache(window_seconds=4.0, margin_seconds=0.1,
+                          sample_rate=fs, device_put=lambda a: a)
+    n = fs  # 1 s utterances
+    r = c.lookup('S', spans(0, n))
+    assert r is not None and c.stats['refills'] == 1
+    assert r.num_valid_samples == n
+    # window content matches the file at the offset
+    direct = load_audio(wav, start=0, stop=n, dtype=None)  # native int16
+    got = np.asarray(r.buf)[0, r.offsets[0]:r.offsets[0] + n]
+    np.testing.assert_array_equal(got, direct)
+    # dense traversal: hits, then a forward refill that is NOT wasteful
+    # (the window served >= window-samples worth of hits)
+    for s in (1, 2, 2, 3):                                 # 4 s of hits
+        assert c.lookup('S', spans(s * fs, n)).offsets[0] >= 0
+    assert c.stats['hits'] == 4 and c.stats['refills'] == 1
+    assert c.lookup('S', spans(10 * fs, n)) is not None    # refill 2
+    assert c.stats['refills'] == 2 and c._wasteful_refills == 0
+    # sparse traversal: each window serves one 1 s hit, far below the
+    # 4 s window upload -> two wasteful refills disable the cache
+    assert c.lookup('S', spans(11 * fs, n)) is not None    # hit
+    assert c.lookup('S', spans(16 * fs, n)) is not None    # wasteful 1
+    assert c.lookup('S', spans(17 * fs, n)) is not None    # hit
+    assert c.lookup('S', spans(22 * fs, n)) is None        # wasteful 2
+    assert c.lookup('S', spans(23 * fs, n)) is None        # disabled now
+    assert c._disabled
+    # new session resets
+    assert c.lookup('S2', spans(0, n)) is not None
+    # utterance longer than the window -> direct
+    assert c.lookup('S2', spans(0, 5 * fs)) is None
