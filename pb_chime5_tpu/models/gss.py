@@ -277,6 +277,26 @@ def gss_enhance(
     return x_hat, jnp.transpose(masks, (1, 2, 0))              # (K, T, F)
 
 
+def _slice_cached_obs(cache, offsets, num_arrays, slice_samples,
+                      num_valid_samples):
+    """Assemble the (A*C, N_pad) observation from the device-resident
+    session window.  Contiguous dynamic slices with a traced start are
+    ~free on this runtime (measured ~1 ms at (24, 640k) int16) — unlike
+    traced-index GATHERS, the 10-70 ms pitfall (docs/ARCHITECTURE.md).
+    Samples past ``num_valid_samples`` are zeroed so the result is
+    bit-identical to the direct path's zero-padded upload."""
+    A, N_pad = num_arrays, slice_samples
+    C = cache.shape[0] // A
+    obs = jnp.concatenate(
+        [jax.lax.dynamic_slice(cache, (jnp.int32(a * C), offsets[a]),
+                               (C, N_pad))
+         for a in range(A)], axis=0)
+    if num_valid_samples is not None:
+        valid = jnp.arange(N_pad) < num_valid_samples
+        obs = jnp.where(valid[None, :], obs, jnp.zeros((), obs.dtype))
+    return obs
+
+
 @functools.partial(
     jax.jit, static_argnames=('config', 'num_arrays', 'slice_samples',
                               'num_output_samples'))
@@ -319,18 +339,8 @@ def gss_enhance_cached(
         past the utterance end where the direct path holds zeros).
       Everything else exactly as :func:`gss_enhance`.
     """
-    A, N_pad = num_arrays, slice_samples
-    C = cache.shape[0] // A
-    # contiguous dynamic slices with a traced start are ~free on this
-    # runtime (measured ~1 ms at (24, 640k) int16) — unlike traced-index
-    # GATHERS, the 10-70 ms pitfall (docs/ARCHITECTURE.md)
-    obs = jnp.concatenate(
-        [jax.lax.dynamic_slice(cache, (jnp.int32(a * C), offsets[a]),
-                               (C, N_pad))
-         for a in range(A)], axis=0)
-    if num_valid_samples is not None:
-        valid = jnp.arange(N_pad) < num_valid_samples
-        obs = jnp.where(valid[None, :], obs, jnp.zeros((), obs.dtype))
+    obs = _slice_cached_obs(cache, offsets, num_arrays, slice_samples,
+                            num_valid_samples)
     Obs, frame_mask, N = _stft_and_mask(obs, num_valid_samples, config)
     Obs = _wpe_stage(Obs, config, frame_mask)
     masks = _em_stage(Obs, activity_freq, config, frame_mask)
@@ -398,6 +408,19 @@ def _gss_back(Obs_fdt, masks, target_index, start_context_frames,
     return x_hat, jnp.transpose(masks, (1, 2, 0))
 
 
+@functools.partial(
+    jax.jit, static_argnames=('config', 'num_arrays', 'slice_samples'))
+def _gss_front_cached(cache, offsets, num_valid_samples, *, config,
+                      num_arrays, slice_samples):
+    """fast_start front stage fed from the session-audio cache (see
+    :func:`gss_enhance_cached`): slice + stft + WPE in one program, so
+    the cached path keeps fast_start's small concurrent compiles."""
+    obs = _slice_cached_obs(cache, offsets, num_arrays, slice_samples,
+                            num_valid_samples)
+    Obs, frame_mask, _ = _stft_and_mask(obs, num_valid_samples, config)
+    return _wpe_stage(Obs, config, frame_mask), frame_mask
+
+
 def gss_enhance_split(
         obs,
         activity_freq,
@@ -414,6 +437,33 @@ def gss_enhance_split(
     if num_output_samples is None:
         num_output_samples = int(np.shape(obs)[-1])
     Obs, frame_mask = _gss_front(obs, num_valid_samples, config=config)
+    masks = _gss_em(Obs, activity_freq, frame_mask, config=config)
+    return _gss_back(Obs, masks, target_index, start_context_frames,
+                     end_context_frames, frame_mask, config=config,
+                     num_output_samples=num_output_samples)
+
+
+def gss_enhance_cached_split(
+        cache,
+        offsets,
+        activity_freq,
+        target_index,
+        *,
+        config: GssConfig = GssConfig(),
+        num_arrays: int,
+        slice_samples: int,
+        start_context_frames=0,
+        end_context_frames=0,
+        num_valid_samples=None,
+        num_output_samples: int = None,
+):
+    """:func:`gss_enhance_cached` executed as three programs (the cached
+    twin of :func:`gss_enhance_split`)."""
+    if num_output_samples is None:
+        num_output_samples = slice_samples
+    Obs, frame_mask = _gss_front_cached(
+        cache, offsets, num_valid_samples, config=config,
+        num_arrays=num_arrays, slice_samples=slice_samples)
     masks = _gss_em(Obs, activity_freq, frame_mask, config=config)
     return _gss_back(Obs, masks, target_index, start_context_frames,
                      end_context_frames, frame_mask, config=config,
@@ -535,7 +585,10 @@ class GssPipeline:
         act = np.zeros((activity_freq.shape[0], T_pad), np.int8)
         act[:, :activity_freq.shape[1]] = np.asarray(activity_freq,
                                                      np.int8)[:, :T_pad]
-        x_hat, masks = gss_enhance_cached(
+        enhance = (gss_enhance_cached_split
+                   if self.config.compile_mode == 'fast_start'
+                   else gss_enhance_cached)
+        x_hat, masks = enhance(
             cache, jnp.asarray(offsets), act, jnp.int32(target_index),
             config=self.config,
             num_arrays=len(offsets),
@@ -548,7 +601,8 @@ class GssPipeline:
         return x_hat, masks, N
 
     def warmup(self, num_channels, num_classes, *, dtype=None,
-               lengths=None, parallel=True):
+               lengths=None, parallel=True, cache_window_samples=None,
+               num_arrays=None):
         """Ahead-of-time compile the enhancement programs for every
         length bucket.
 
@@ -556,6 +610,10 @@ class GssPipeline:
         lowered and compiled CONCURRENTLY on a thread pool (XLA releases
         the GIL), cutting fresh-machine first-utterance latency well
         below the fused program's single cold compile.
+
+        When ``cache_window_samples`` (and ``num_arrays``) are given, the
+        session-audio-cache variants (:func:`gss_enhance_cached` /
+        :func:`_gss_front_cached`) are compiled too.
         """
         import concurrent.futures
 
@@ -565,6 +623,32 @@ class GssPipeline:
         config = self.config
         i32 = jax.ShapeDtypeStruct((), jnp.int32)
         jobs = []
+        if cache_window_samples is not None:
+            A = num_arrays if num_arrays is not None else 1
+            cache_s = jax.ShapeDtypeStruct(
+                (num_channels, cache_window_samples), dtype)
+            offs_s = jax.ShapeDtypeStruct((A,), jnp.int32)
+            for N_pad in lengths:
+                T_pad = self.frame_count(N_pad)
+                act_s = jax.ShapeDtypeStruct(
+                    (num_classes, T_pad), jnp.int8)
+                if config.compile_mode == 'fast_start':
+                    jobs.append(
+                        lambda cs=cache_s, os_=offs_s, c=config, a=A,
+                        n=N_pad: _gss_front_cached.lower(
+                            cs, os_, i32, config=c, num_arrays=a,
+                            slice_samples=n).compile())
+                else:
+                    jobs.append(
+                        lambda cs=cache_s, os_=offs_s, ac=act_s,
+                        c=config, a=A, n=N_pad:
+                        gss_enhance_cached.lower(
+                            cs, os_, ac, i32, config=c, num_arrays=a,
+                            slice_samples=n,
+                            start_context_frames=i32,
+                            end_context_frames=i32,
+                            num_valid_samples=i32,
+                            num_output_samples=n).compile())
         for N_pad in lengths:
             T_pad = self.frame_count(N_pad)
             F = config.stft_size // 2 + 1

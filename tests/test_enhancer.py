@@ -455,3 +455,27 @@ def test_audio_cache_policy(corpus, tmp_path):
     assert c.lookup('S2', spans(0, n)) is not None
     # utterance longer than the window -> direct
     assert c.lookup('S2', spans(0, 5 * fs)) is None
+
+
+def test_device_audio_cache_fast_start(corpus, tmp_path):
+    """fast_start + cache: the split cached front keeps fast_start's
+    small concurrent compiles; outputs byte-identical to the direct
+    path in the same mode."""
+    info, root, json_path = corpus
+    kw = dict(database_path=str(json_path), wpe=False, multiarray=True,
+              compile_mode='fast_start', **SMALL)
+    off = get_enhancer(device_audio_cache=False, **kw)
+    off.enhance_session(['S02'], tmp_path / 'off', audio_dir_exist_ok=True)
+    on = get_enhancer(device_audio_cache=True, cache_window_seconds=20.0,
+                      **kw)
+    # warmup covers the cached front too (no exception = lowers + compiles)
+    on._pipeline.warmup(
+        8, 5, lengths=[16000 * 2], num_arrays=2,
+        cache_window_samples=int(20.0 * 16000))
+    on.enhance_session(['S02'], tmp_path / 'on', audio_dir_exist_ok=True)
+    assert on._audio_cache.stats['hits'] > 0
+    wavs_off = sorted((tmp_path / 'off' / 'dev').glob('*.wav'))
+    wavs_on = sorted((tmp_path / 'on' / 'dev').glob('*.wav'))
+    assert [w.name for w in wavs_off] == [w.name for w in wavs_on]
+    for a, b in zip(wavs_off, wavs_on):
+        assert a.read_bytes() == b.read_bytes(), a.name
