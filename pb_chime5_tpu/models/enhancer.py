@@ -115,11 +115,11 @@ class Enhancer:
     length_buckets: tuple = DEFAULT_LENGTH_BUCKETS
     compute_dtype: object = np.float32
     # device-resident rolling session-audio cache (models/audio_cache.py):
-    # serial session loops slice each utterance's window out of a resident
-    # chunk of session audio instead of uploading utterance + 30 s context
-    # every time (~4x the host->device bytes).  True | False; outputs are
-    # bit-identical either way (tested).  The mesh-batched loop always
-    # uploads directly.
+    # session loops slice each utterance's window out of a resident chunk
+    # of session audio instead of uploading utterance + 30 s context every
+    # time (~4x the host->device bytes).  True | False; outputs are
+    # bit-identical either way (tested).  The mesh-batched loop replicates
+    # the window across the mesh and ships (B, A) offsets.
     device_audio_cache: bool = True
     cache_window_seconds: float = 180.0
 
@@ -285,9 +285,8 @@ class Enhancer:
         todo = todo_gen()
 
         import functools as _functools
-        prepare = (self._prepare_example if mesh is not None else
-                   _functools.partial(self._prepare_example,
-                                      use_cache=True))
+        prepare = _functools.partial(self._prepare_example,
+                                     use_cache=True)
 
         if mesh is not None:
             return self._session_loop_mesh(
@@ -408,7 +407,8 @@ class Enhancer:
             window = collections.deque()
             todo_iter = iter(todo)
             for ex in todo_iter:
-                window.append((ex, pool.submit(self._prepare_example, ex)))
+                window.append((ex, pool.submit(
+                    self._prepare_example, ex, use_cache=True)))
                 if len(window) >= prefetch:
                     break
 
@@ -421,8 +421,8 @@ class Enhancer:
                 ex, future = window.popleft()
                 nxt = next(todo_iter, None)
                 if nxt is not None:
-                    window.append(
-                        (nxt, pool.submit(self._prepare_example, nxt)))
+                    window.append((nxt, pool.submit(
+                        self._prepare_example, nxt, use_cache=True)))
                 example_id = ex['example_id']
                 try:
                     reference_array, obs = future.result()
@@ -430,12 +430,21 @@ class Enhancer:
                         self._device_args(
                             self._example_activity(ex, reference_array),
                             ex['speaker_id'], ex)
-                    batch = dispatcher.add(
-                        obs, activity_freq, target_index,
-                        start_context_frames=start_cf,
-                        end_context_frames=end_cf,
-                        tag=(example_id, ex['session_id'],
-                             self._trim(ex, reference_array)))
+                    tag = (example_id, ex['session_id'],
+                           self._trim(ex, reference_array))
+                    from pb_chime5_tpu.models.audio_cache import \
+                        CachedWindow
+                    if isinstance(obs, CachedWindow):
+                        batch = dispatcher.add_cached(
+                            obs.buf, obs.offsets, obs.num_valid_samples,
+                            activity_freq, target_index,
+                            start_context_frames=start_cf,
+                            end_context_frames=end_cf, tag=tag)
+                    else:
+                        batch = dispatcher.add(
+                            obs, activity_freq, target_index,
+                            start_context_frames=start_cf,
+                            end_context_frames=end_cf, tag=tag)
                 except Exception:
                     print('ERROR: Failed example:', example_id)
                     if on_error == 'raise':

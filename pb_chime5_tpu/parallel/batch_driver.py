@@ -24,7 +24,8 @@ import dataclasses
 
 import numpy as np
 
-from pb_chime5_tpu.parallel.mesh import sharded_gss_enhance
+from pb_chime5_tpu.parallel.mesh import (
+    sharded_gss_enhance, sharded_gss_enhance_cached)
 
 __all__ = ['BatchDispatcher', 'DispatchedBatch']
 
@@ -33,11 +34,12 @@ __all__ = ['BatchDispatcher', 'DispatchedBatch']
 class _PendingItem:
     tag: object              # caller's cookie (e.g. example dict)
     num_valid_samples: int   # true length before bucket padding
-    obs: np.ndarray          # (D, N) normalized
+    obs: np.ndarray          # (D, N) normalized; None for cached items
     activity: np.ndarray     # (K, T_pad) int8
     target_index: int
     start_context_frames: int
     end_context_frames: int
+    offsets: np.ndarray = None   # (A,) int32 for session-cache items
 
 
 @dataclasses.dataclass
@@ -74,6 +76,7 @@ class BatchDispatcher:
         self.pipeline = pipeline
         self.batch_size = mesh.shape['data'] * utterances_per_device
         self._groups = {}        # (D, N_pad, K) -> [_PendingItem]
+        self._windows = {}       # cached-group key -> device window
 
     # ------------------------------------------------------------- add --
 
@@ -103,6 +106,39 @@ class BatchDispatcher:
             return self._dispatch(key, group)
         return None
 
+    def add_cached(self, window, offsets, num_valid_samples,
+                   activity_freq, target_index, *,
+                   start_context_frames=0, end_context_frames=0,
+                   tag=None):
+        """Queue one utterance served by the device-resident
+        session-audio window (models/audio_cache.py): ships (A,) int32
+        offsets instead of the (D, N) observation.  Rows of one batch
+        must share the same window, so the group key carries the window
+        identity — a refill simply starts a new group and the old one
+        flushes with its own (still-alive) buffer."""
+        N = int(num_valid_samples)
+        N_pad = self.pipeline.bucket_length(N)
+        T_pad = self.pipeline.frame_count(N_pad)
+        act = np.zeros((activity_freq.shape[0], T_pad), np.int8)
+        act[:, :activity_freq.shape[1]] = np.asarray(
+            activity_freq, np.int8)[:, :T_pad]
+        offsets = np.asarray(offsets, np.int32)
+        item = _PendingItem(
+            tag=tag, num_valid_samples=N, obs=None, activity=act,
+            target_index=int(target_index),
+            start_context_frames=int(start_context_frames),
+            end_context_frames=int(end_context_frames),
+            offsets=offsets)
+        key = ('cached', id(window), len(offsets), N_pad, act.shape[0])
+        group = self._groups.setdefault(key, [])
+        # keep the device buffer alive for as long as the group exists
+        self._windows[key] = window
+        group.append(item)
+        if len(group) >= self.batch_size:
+            del self._groups[key]
+            return self._dispatch(key, group)
+        return None
+
     def flush(self):
         """Dispatch every partial group; returns a list of
         DispatchedBatch."""
@@ -120,6 +156,8 @@ class BatchDispatcher:
     def _dispatch(self, key, items):
         import jax.numpy as jnp
 
+        if key[0] == 'cached':
+            return self._dispatch_cached(key, items)
         D, N_pad, K = key
         B = self.batch_size
         rows = items + [items[0]] * (B - len(items))   # pad partial batch
@@ -133,6 +171,28 @@ class BatchDispatcher:
             self.mesh, jnp.asarray(obs_b), jnp.asarray(act_b),
             jnp.asarray(tgt_b), jnp.asarray(valid_b),
             config=self.pipeline.config, num_output_samples=N_pad,
+            start_context_frames=jnp.asarray(scf_b),
+            end_context_frames=jnp.asarray(ecf_b))
+        return DispatchedBatch(handle=handle, items=items)
+
+    def _dispatch_cached(self, key, items):
+        import jax.numpy as jnp
+
+        _tag, _wid, A, N_pad, K = key
+        window = self._windows.pop(key)
+        B = self.batch_size
+        rows = items + [items[0]] * (B - len(items))   # pad partial batch
+        offs_b = np.stack([r.offsets for r in rows])
+        act_b = np.stack([r.activity for r in rows])
+        tgt_b = np.array([r.target_index for r in rows], np.int32)
+        valid_b = np.array([r.num_valid_samples for r in rows], np.int32)
+        scf_b = np.array([r.start_context_frames for r in rows], np.int32)
+        ecf_b = np.array([r.end_context_frames for r in rows], np.int32)
+        handle = sharded_gss_enhance_cached(
+            self.mesh, window, jnp.asarray(offs_b), jnp.asarray(act_b),
+            jnp.asarray(tgt_b), jnp.asarray(valid_b),
+            config=self.pipeline.config, num_arrays=A,
+            slice_samples=N_pad, num_output_samples=N_pad,
             start_context_frames=jnp.asarray(scf_b),
             end_context_frames=jnp.asarray(ecf_b))
         return DispatchedBatch(handle=handle, items=items)

@@ -29,10 +29,11 @@ import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P
 
 from pb_chime5_tpu.models.gss import (
-    GssConfig, enhance_spectrogram, _stft_and_mask)
+    GssConfig, enhance_spectrogram, _stft_and_mask, _slice_cached_obs)
 from pb_chime5_tpu.ops.stft import istft
 
-__all__ = ['make_mesh', 'batched_gss_enhance', 'sharded_gss_enhance']
+__all__ = ['make_mesh', 'batched_gss_enhance', 'sharded_gss_enhance',
+           'sharded_gss_enhance_cached']
 
 
 def make_mesh(data: int = None, freq: int = 1, devices=None) -> Mesh:
@@ -161,3 +162,59 @@ def sharded_gss_enhance(mesh: Mesh, obs, activity_freq, target_index,
         obs, activity_freq, target_index, num_valid_samples,
         _zeros_like_batch(start_context_frames, obs),
         _zeros_like_batch(end_context_frames, obs))
+
+
+def sharded_gss_enhance_cached(
+        mesh: Mesh, cache, offsets, activity_freq, target_index,
+        num_valid_samples, *, config: GssConfig, num_arrays: int,
+        slice_samples: int, num_output_samples: int,
+        start_context_frames=None, end_context_frames=None):
+    """:func:`sharded_gss_enhance` fed from the device-resident
+    session-audio window (models/audio_cache.py): the (A*C, W) window is
+    REPLICATED across the mesh and each row ships only its (A,) int32
+    per-array offsets — the multi-chip twin of
+    ``models.gss.gss_enhance_cached``.
+
+    The per-row observation is assembled inside ``shard_map`` by a
+    STATIC Python loop over the local rows (vmapping the dynamic slice
+    would lower it to a gather — the 10-70 ms axon pitfall; B_local
+    contiguous traced-offset slices are ~free).  Samples past each row's
+    valid length are zeroed in-graph, so rows are bit-identical to the
+    direct path's zero-padded uploads.
+
+    offsets (B, A) int32, B divisible by the ``data`` axis size.
+    Returns (B, num_output_samples) sharded over ``data``.
+    """
+    nd = mesh.shape['data']
+    nf = mesh.shape['freq']
+    B = offsets.shape[0]
+    assert B % nd == 0, (B, nd)
+    F = config.stft_size // 2 + 1
+    freq_pad = (-F) % nf
+
+    snr_reduce = (lambda x: jax.lax.psum(x, 'freq')) if nf > 1 else None
+
+    def per_device(cache_l, offs_l, act_l, tgt_l, valid_l, scf_l, ecf_l):
+        rows = [
+            _slice_cached_obs(cache_l, offs_l[b], num_arrays,
+                              slice_samples, valid_l[b])
+            for b in range(offs_l.shape[0])]
+        obs_l = jnp.stack(rows)
+        fn = functools.partial(
+            _single, config=config,
+            num_output_samples=num_output_samples,
+            snr_reduce=snr_reduce, freq_pad=freq_pad if nf > 1 else 0,
+            num_freq_shards=nf)
+        return jax.vmap(fn)(obs_l, act_l, tgt_l, valid_l, scf_l, ecf_l)
+
+    shard = jax.shard_map(
+        per_device, mesh=mesh,
+        in_specs=(P(), P('data'), P('data'), P('data'), P('data'),
+                  P('data'), P('data')),
+        out_specs=P('data'),
+        check_vma=False,
+    )
+    return jax.jit(shard)(
+        cache, offsets, activity_freq, target_index, num_valid_samples,
+        _zeros_like_batch(start_context_frames, offsets),
+        _zeros_like_batch(end_context_frames, offsets))

@@ -297,8 +297,12 @@ def test_enhance_session_mesh_matches_serial(corpus, tmp_path):
     enhancer.enhance_session(['S02'], tmp_path / 'serial',
                              audio_dir_exist_ok=True)
     mesh = make_mesh(data=8, freq=1)
+    hits_before = enhancer._audio_cache.stats['hits']
     enhancer.enhance_session(['S02'], tmp_path / 'mesh',
                              audio_dir_exist_ok=True, mesh=mesh)
+    # the mesh loop must have gone through the session-audio cache
+    # (sharded_gss_enhance_cached), not the direct upload fallback
+    assert enhancer._audio_cache.stats['hits'] > hits_before
     serial = sorted((tmp_path / 'serial' / 'dev').glob('*.wav'))
     meshed = sorted((tmp_path / 'mesh' / 'dev').glob('*.wav'))
     assert serial and [p.name for p in serial] == [p.name for p in meshed]
@@ -387,6 +391,7 @@ def test_run_cli_mesh_auto(corpus, tmp_path):
         assert np.isfinite(x).all() and np.abs(x).max() > 0
 
 
+@pytest.mark.slow
 def test_device_audio_cache_byte_identical(corpus, tmp_path):
     """The device-resident session-audio cache (models/audio_cache.py)
     must produce byte-identical WAVs to the direct per-utterance upload
@@ -457,6 +462,7 @@ def test_audio_cache_policy(corpus, tmp_path):
     assert c.lookup('S2', spans(0, 5 * fs)) is None
 
 
+@pytest.mark.slow
 def test_device_audio_cache_fast_start(corpus, tmp_path):
     """fast_start + cache: the split cached front keeps fast_start's
     small concurrent compiles; outputs byte-identical to the direct
