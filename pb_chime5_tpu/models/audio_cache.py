@@ -114,15 +114,11 @@ class SessionAudioCache:
         self._bases = [max(0, s - self.margin) for s in starts]
         rows = []
         for (paths, _s, _e, selector), base in zip(per_array, self._bases):
+            # fill_value=0 pads session-tail short reads to exactly
+            # `window` samples, so every row is (C, window)
             audio = load_audio(paths, start=base, stop=base + self.window,
                                dtype=None, fill_value=0)
-            audio = np.atleast_2d(audio)[selector]
-            if audio.shape[-1] < self.window:    # session tail
-                pad = np.zeros(
-                    audio.shape[:-1] + (self.window - audio.shape[-1],),
-                    audio.dtype)
-                audio = np.concatenate([audio, pad], axis=-1)
-            rows.append(self.coerce(audio))
+            rows.append(self.coerce(np.atleast_2d(audio)[selector]))
         self._buf = self.device_put(np.concatenate(rows, axis=0))
         self.stats['refills'] += 1
 

@@ -290,7 +290,7 @@ class Enhancer:
 
         if mesh is not None:
             return self._session_loop_mesh(
-                todo, mesh, utterances_per_device, audio_dir,
+                todo, prepare, mesh, utterances_per_device, audio_dir,
                 mark_complete, progress, on_error, write_ahead)
 
         prefetch = 2
@@ -356,8 +356,9 @@ class Enhancer:
 
     # ------------------------------------------------------------------
 
-    def _session_loop_mesh(self, todo, mesh, utterances_per_device,
-                           audio_dir, mark_complete, progress, on_error,
+    def _session_loop_mesh(self, todo, prepare, mesh,
+                           utterances_per_device, audio_dir,
+                           mark_complete, progress, on_error,
                            write_ahead):
         """Mesh-batched variant of the session loop: same prefetch +
         writer-thread structure, but utterances are collated by the
@@ -407,8 +408,7 @@ class Enhancer:
             window = collections.deque()
             todo_iter = iter(todo)
             for ex in todo_iter:
-                window.append((ex, pool.submit(
-                    self._prepare_example, ex, use_cache=True)))
+                window.append((ex, pool.submit(prepare, ex)))
                 if len(window) >= prefetch:
                     break
 
@@ -421,8 +421,7 @@ class Enhancer:
                 ex, future = window.popleft()
                 nxt = next(todo_iter, None)
                 if nxt is not None:
-                    window.append((nxt, pool.submit(
-                        self._prepare_example, nxt, use_cache=True)))
+                    window.append((nxt, pool.submit(prepare, nxt)))
                 example_id = ex['example_id']
                 try:
                     reference_array, obs = future.result()
@@ -483,39 +482,22 @@ class Enhancer:
         int16 all the way to the device, which halves the host->device
         transfer; the 2^-15 scaling happens in-graph (bit-identical to
         the reference's float64 read)."""
-        def load_arrays(channel_selector):
-            arrays = []
-            for array in sorted(ex['audio_path']['observation'].keys()):
-                audio = load_audio(
-                    ex['audio_path']['observation'][array],
-                    start=ex['start']['observation'][array],
-                    stop=ex['end']['observation'][array],
-                    dtype=None,
-                )
-                arrays.append(audio[channel_selector])
-            assert {a.ndim for a in arrays} == {2}, \
-                [a.shape for a in arrays]
-            time_length = min(a.shape[-1] for a in arrays)
-            stacked = np.array([a[..., :time_length] for a in arrays])
-            # 'ACN->A*CN'
-            return stacked.reshape(-1, time_length)
-
-        if self.multiarray is True:
-            return load_arrays(slice(None))
-        if self.multiarray == 'outer_array_mics':
-            # list (not tuple!) index: numpy treats a tuple as a
-            # multi-dimensional index
-            return load_arrays([0, -1])
-        if self.multiarray == 'first_array_mics':
-            return load_arrays([0])
-        if self.multiarray is False:
-            return load_audio(
-                ex['audio_path']['observation'][reference_array],
-                start=ex['start']['observation'][reference_array],
-                stop=ex['end']['observation'][reference_array],
+        obs_paths = ex['audio_path']['observation']
+        arrays, sel = self._multiarray_selection(obs_paths,
+                                                 reference_array)
+        loaded = []
+        for array in arrays:
+            audio = load_audio(
+                obs_paths[array],
+                start=ex['start']['observation'][array],
+                stop=ex['end']['observation'][array],
                 dtype=None,
             )
-        raise ValueError(self.multiarray)
+            loaded.append(np.atleast_2d(audio)[sel])
+        time_length = min(a.shape[-1] for a in loaded)
+        stacked = np.array([a[..., :time_length] for a in loaded])
+        # 'ACN->A*CN'
+        return stacked.reshape(-1, time_length)
 
     def _multiarray_selection(self, obs_paths, reference_array):
         """(array ids in stacking order, channel selector) for the

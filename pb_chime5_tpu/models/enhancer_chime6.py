@@ -135,32 +135,21 @@ class Enhancer(_Chime5Enhancer):
 
     def _load_observation_flat(self, ex):
         """Multi-array stacking on one global clock (reference
-        core_chime6.py:410-490)."""
-        def load_arrays(channel_selector):
-            arrays = []
-            for array in sorted(ex['audio_path']['observation'].keys()):
-                audio = load_audio(
-                    ex['audio_path']['observation'][array],
-                    start=ex['start'], stop=ex['end'], dtype=None)
-                arrays.append(audio[channel_selector])
-            time_length = min(a.shape[-1] for a in arrays)
-            stacked = np.array([a[..., :time_length] for a in arrays])
-            return stacked.reshape(-1, time_length)
-
-        if self.multiarray is True:
-            return load_arrays(slice(None))
-        if self.multiarray == 'outer_array_mics':
-            # list (not tuple!) index: numpy treats a tuple as a
-            # multi-dimensional index
-            return load_arrays([0, -1])
-        if self.multiarray == 'first_array_mics':
-            return load_arrays([0])
-        if self.multiarray is False:
-            reference_array = self._resolve_reference_array(ex)
-            return load_audio(
-                ex['audio_path']['observation'][reference_array],
-                start=ex['start'], stop=ex['end'], dtype=None)
-        raise ValueError(self.multiarray)
+        core_chime6.py:410-490).  Array order and channel selection come
+        from the shared ``_multiarray_selection`` — the single source the
+        cache spans use too."""
+        obs_paths = ex['audio_path']['observation']
+        ref = (self._resolve_reference_array(ex)
+               if self.multiarray is False else None)
+        arrays, sel = self._multiarray_selection(obs_paths, ref)
+        loaded = []
+        for array in arrays:
+            audio = load_audio(obs_paths[array], start=ex['start'],
+                               stop=ex['end'], dtype=None)
+            loaded.append(np.atleast_2d(audio)[sel])
+        time_length = min(a.shape[-1] for a in loaded)
+        stacked = np.array([a[..., :time_length] for a in loaded])
+        return stacked.reshape(-1, time_length)
 
 
 def get_enhancer(
@@ -194,6 +183,8 @@ def get_enhancer(
 
     length_buckets=DEFAULT_LENGTH_BUCKETS,
     compute_dtype=np.float32,
+    device_audio_cache=True,
+    cache_window_seconds=180.0,
 ):
     """Factory mirroring pb_chime5/core_chime6.py:571-634."""
     assert wpe is True or wpe is False, wpe
@@ -225,4 +216,6 @@ def get_enhancer(
         reference_array=reference_array,
         length_buckets=length_buckets,
         compute_dtype=compute_dtype,
+        device_audio_cache=device_audio_cache,
+        cache_window_seconds=cache_window_seconds,
     )

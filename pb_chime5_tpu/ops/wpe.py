@@ -37,7 +37,6 @@ import functools
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 # MXU precision of the statistics/tail contractions (the solve internals
 # are always HIGHEST).  Measured dead end — keep 'highest':

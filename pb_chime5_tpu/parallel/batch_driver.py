@@ -123,6 +123,9 @@ class BatchDispatcher:
         act[:, :activity_freq.shape[1]] = np.asarray(
             activity_freq, np.int8)[:, :T_pad]
         offsets = np.asarray(offsets, np.int32)
+        W = window.shape[1]
+        assert offsets.min() >= 0 and offsets.max() + N_pad <= W, \
+            (offsets, N_pad, W)   # dynamic_slice would silently clamp
         item = _PendingItem(
             tag=tag, num_valid_samples=N, obs=None, activity=act,
             target_index=int(target_index),

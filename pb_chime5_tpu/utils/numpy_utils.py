@@ -16,7 +16,7 @@ from pb_chime5_tpu.utils.activity_freq import segment_axis  # noqa: F401
 __all__ = ['morph', 'pad_axis', 'roll_zeropad', 'labels_to_one_hot',
            'Cutter', 'segment_axis', 'tbf_to_tbchw', 'stack_context',
            'unstack_context', 'split_complex_features',
-           'merge_complex_features']
+           'merge_complex_features', 'add_context']
 
 
 def _parse_morph_side(side):
@@ -280,3 +280,31 @@ def merge_complex_features(X):
     (reference numpy_utils.py:438-445)."""
     bins = X.shape[-1]
     return X[:, :, :bins // 2] + 1j * X[:, :, bins // 2:]
+
+
+def add_context(data, left_context=0, right_context=0, step=1,
+                cnn_features=False, deltas_as_channel=False,
+                num_deltas=2, sequence_output=True):
+    """Context-window frontend dispatcher (reference
+    numpy_utils.py:710-729): dense stacking via :func:`stack_context`,
+    or the convolutional (T, B, C, H, W) layout via
+    :func:`tbf_to_tbchw` with zero padding — optionally splitting
+    delta-feature blocks into channels, or flattening the batch axis
+    for non-sequence outputs."""
+    if cnn_features:
+        data = tbf_to_tbchw(data, left_context, right_context, step,
+                            pad_mode='constant',
+                            pad_kwargs=dict(constant_values=(0,)))
+        if deltas_as_channel:
+            feature_size = data.shape[3] // (1 + num_deltas)
+            data = np.concatenate(
+                [data[:, :, :, i * feature_size:(i + 1) * feature_size, :]
+                 for i in range(1 + num_deltas)], axis=2)
+    else:
+        data = stack_context(data, left_context=left_context,
+                             right_context=right_context, step_width=step)
+        if not sequence_output:
+            data = np.concatenate(
+                [data[:, i, ...].reshape((-1, data.shape[-1]))
+                 for i in range(data.shape[1])], axis=0)
+    return data

@@ -206,11 +206,22 @@ def test_chime6_pipeline(corpus, tmp_path):
     enhancer.enhance_session(
         ['S02'], tmp_path / 'audio6', dataset_slice=2,
         audio_dir_exist_ok=True)
+    assert enhancer._audio_cache.stats['hits'] > 0   # flat-clock cache ran
     wavs = list((tmp_path / 'audio6' / 'dev').glob('*.wav'))
     assert len(wavs) == 2
     for wav in wavs:
         x = load_audio(wav)
         assert np.isfinite(x).all() and x.ndim == 1
+    # flat-clock cached path byte-identical to direct upload (the chime6
+    # factory exposes the cache knobs like the chime5 one)
+    direct = ge6(database_path=str(json6), wpe=False, multiarray=True,
+                 device_audio_cache=False, **SMALL)
+    direct.enhance_session(
+        ['S02'], tmp_path / 'audio6_direct', dataset_slice=2,
+        audio_dir_exist_ok=True)
+    for wav in wavs:
+        other = tmp_path / 'audio6_direct' / 'dev' / wav.name
+        assert wav.read_bytes() == other.read_bytes(), wav.name
 
 
 def test_rttm_pipeline(corpus, tmp_path):

@@ -299,3 +299,24 @@ def test_split_merge_complex_features():
     S = split_complex_features(X)
     assert S.shape == (3, 2, 10) and S.dtype.kind == 'f'
     np.testing.assert_array_equal(merge_complex_features(S), X)
+
+
+def test_add_context_dispatch():
+    from pb_chime5_tpu.utils.numpy_utils import (
+        add_context, stack_context, tbf_to_tbchw)
+    T, B, F = 5, 2, 6
+    X = np.arange(T * B * F, dtype=float).reshape(T, B, F)
+    np.testing.assert_array_equal(
+        add_context(X, 1, 1), stack_context(X, 1, 1))
+    # non-sequence output flattens the batch axis, batch-major
+    flat = add_context(X, 1, 1, sequence_output=False)
+    assert flat.shape == (T * B, 3 * F)
+    np.testing.assert_array_equal(flat[:T], stack_context(X, 1, 1)[:, 0])
+    # cnn layout with zero padding (not symmetric)
+    cnn = add_context(X, 1, 1, cnn_features=True)
+    assert cnn.shape == (T, B, 1, F, 3)
+    assert np.all(cnn[0, :, 0, :, 0] == 0)          # zero-padded head
+    # deltas split into channels: F = 6 = (1 + 2 deltas) x 2 feats
+    d = add_context(X, 1, 1, cnn_features=True, deltas_as_channel=True,
+                    num_deltas=2)
+    assert d.shape == (T, B, 3, 2, 3)
