@@ -496,3 +496,32 @@ def test_device_audio_cache_fast_start(corpus, tmp_path):
     assert [w.name for w in wavs_off] == [w.name for w in wavs_on]
     for a, b in zip(wavs_off, wavs_on):
         assert a.read_bytes() == b.read_bytes(), a.name
+
+
+@pytest.mark.slow
+def test_mesh_mixed_cached_and_direct_batches(corpus, tmp_path):
+    """When the session-audio cache disables itself mid-session (tiny
+    window forces wasteful refills), the mesh loop must collate a MIX of
+    cached and direct rows and still match the serial path byte-for-byte."""
+    from pb_chime5_tpu.parallel import make_mesh
+    info, root, json_path = corpus
+    kw = dict(database_path=str(json_path), wpe=False, multiarray=False,
+              **SMALL)
+    serial = get_enhancer(device_audio_cache=False, **kw)
+    serial.enhance_session(['S02'], tmp_path / 'serial',
+                           audio_dir_exist_ok=True)
+    # the window fits exactly one bucket -> every refill serves zero
+    # hits -> two wasteful refills disable the cache, so the session
+    # produces cached rows first, direct rows after
+    meshy = get_enhancer(device_audio_cache=True,
+                         cache_window_seconds=6.0, **kw)
+    mesh = make_mesh(data=8, freq=1)
+    meshy.enhance_session(['S02'], tmp_path / 'mesh',
+                          audio_dir_exist_ok=True, mesh=mesh)
+    stats = meshy._audio_cache.stats
+    assert stats['refills'] >= 1 and stats['direct'] >= 1, stats
+    a = sorted((tmp_path / 'serial' / 'dev').glob('*.wav'))
+    b = sorted((tmp_path / 'mesh' / 'dev').glob('*.wav'))
+    assert a and [p.name for p in a] == [p.name for p in b]
+    for x, y in zip(a, b):
+        assert x.read_bytes() == y.read_bytes(), x.name

@@ -210,3 +210,34 @@ def test_precision_default_pinned_highest(rng):
         got = np.asarray(wpe(jnp.asarray(Y), taps=3, delay=1, iterations=2,
                              precision=prec))
         np.testing.assert_allclose(got, base, atol=1e-6)
+
+
+@pytest.mark.slow
+def test_real_stats_strip_splits_property(rng):
+    """Property sweep of the tap-group strip decomposition: for random
+    (taps, D, T) — including strip boundaries just above/below the
+    128-lane block and taps not divisible by the per-strip count — the
+    real-form statistics backend must match the complex path in float64
+    (same products, reassociation only)."""
+    from pb_chime5_tpu.ops.wpe import _tap_groups
+    cases = [
+        (10, 13, 90),    # 130 rows: strips of 9+1 taps
+        (11, 12, 80),    # 132 rows: 10+1
+        (4, 32, 70),     # 128 rows exactly: single strip
+        (5, 32, 70),     # 160 rows: 4+1 taps
+        (3, 43, 60),     # 129 rows: 2+1
+        (7, 2, 50),      # tiny D: one strip
+        (2, 129, 40),    # D > lane: degenerate per=1 strips
+    ]
+    for taps, D, T in cases:
+        groups = _tap_groups(taps, D)
+        assert sum(len(g) for g in groups) == taps, (taps, D, groups)
+        assert [t for g in groups for t in g] == list(range(taps))
+        Y = (rng.standard_normal((3, D, T))
+             + 1j * rng.standard_normal((3, D, T)))
+        a = np.asarray(wpe(jnp.asarray(Y), taps=taps, delay=1,
+                           iterations=2, stats_backend='xla'))
+        b = np.asarray(wpe(jnp.asarray(Y), taps=taps, delay=1,
+                           iterations=2, stats_backend='real'))
+        np.testing.assert_allclose(b, a, atol=1e-9,
+                                   err_msg=str((taps, D, T)))
