@@ -69,6 +69,12 @@ def main(argv=None):
         got = Experiment._broadcast_run_id(
             a.run_id if a.rank == 0 else -1)
         print('BROADCAST_RUN_ID', got, flush=True)
+        # stdout can interleave with gloo's C-level logging under load
+        # (observed once in a loaded full-suite run), so ALSO record the
+        # value where interleaving cannot corrupt it
+        from pathlib import Path as _P
+        (_P(a.audio_dir).parent
+         / f'broadcast_{a.rank}.txt').write_text(str(got))
         barrier()        # replaces dlp_mpi.barrier (reference core.py:369)
 
     from functools import partial

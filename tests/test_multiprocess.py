@@ -173,9 +173,13 @@ def test_jax_distributed_two_processes(corpus, serial_hashes, tmp_path):
         out, err = p.communicate(timeout=900)
         assert p.returncode == 0, (out[-2000:], err[-4000:])
         assert 'WORKER_OK' in out
-        # every process must see the MASTER's run id (rank 1 passes -1)
-        assert 'BROADCAST_RUN_ID 7' in out, out[-2000:]
         finished.append(out.count('FINISHED'))
         outs.append(out)
+    # every process must see the MASTER's run id (rank 1 passes -1).
+    # Checked through per-rank files, not stdout — gloo's C-level logs
+    # can interleave mid-line with Python prints under load.
+    for rank in range(2):
+        got = (audio.parent / f'broadcast_{rank}.txt').read_text()
+        assert got == '7', (rank, got)
     assert _wav_hashes(audio) == serial_hashes
     assert finished == [4, 4], finished   # process_info() saw (0,2)/(1,2)
