@@ -54,10 +54,8 @@ def bench_session():
         examples = list(enhancer.get_iterator('S02'))
         span_s = sum(ex['end']['original'] - ex['start']['original']
                      for ex in examples) / 16000.0
-        enhancer._pipeline.warmup(
-            24, 5, dtype=np.int16, num_arrays=6,
-            cache_window_samples=int(
-                enhancer.cache_window_seconds * 16000))
+        enhancer.warmup('S02')   # all bucket programs incl. the cached
+        #                          variants, shapes derived from the data
         # pass 1 absorbs any residual compile/cache effects; pass 2 is
         # the measured steady state (same protocol as
         # scripts_dev/bench_session.py)

@@ -353,6 +353,15 @@ class Enhancer:
                     drain(*pending.popleft())
             while pending:
                 drain(*pending.popleft())
+        self._log_cache_stats()
+
+    def _log_cache_stats(self):
+        """One observability line per enhance_session: how the
+        device-resident session-audio cache behaved (hits serve from the
+        resident window; 'direct' = fallback uploads)."""
+        if self._audio_cache is not None:
+            print('session-audio cache:', dict(self._audio_cache.stats),
+                  flush=True)
 
     # ------------------------------------------------------------------
 
@@ -458,6 +467,43 @@ class Enhancer:
                 submit_batch(batch)
             while pending:
                 drain(*pending.popleft())
+        self._log_cache_stats()
+
+    def warmup(self, session_id, *, lengths=None, parallel=True):
+        """Ahead-of-time compile every length-bucket program for a
+        session's real shapes — channel count from the multiarray
+        selection, class count from the session activity, observation
+        dtype from the audio files (PCM16 corpora compile the int16
+        in-graph-scaling programs), plus the session-audio-cache
+        variants when the cache is enabled.  With the persistent
+        compilation cache this makes the first real utterance of a
+        fresh process start at full speed."""
+        ex = self.get_iterator(session_id)[0]
+        reference_array = self._resolve_reference_array(ex)
+        spans = self._cache_spans(ex, reference_array)
+        num_channels = 0
+        first_path = None
+        for paths, _s, _e, sel in spans:
+            if not isinstance(paths, (list, tuple)):
+                paths = [paths]
+            if first_path is None:
+                first_path = paths[0]
+            selected = (list(range(len(paths)))[sel]
+                        if isinstance(sel, slice) else sel)
+            num_channels += len(selected)
+        num_classes = len(
+            self._example_activity(ex, reference_array))
+        probe = load_audio(first_path, start=0, stop=1, dtype=None)
+        dtype = (np.int16 if probe.dtype == np.int16
+                 and np.dtype(self.compute_dtype) == np.float32
+                 else self.compute_dtype)
+        cache_kw = {}
+        if self._audio_cache is not None:
+            cache_kw = dict(num_arrays=len(spans),
+                            cache_window_samples=self._audio_cache.window)
+        self._pipeline.warmup(num_channels, num_classes, dtype=dtype,
+                              lengths=lengths, parallel=parallel,
+                              **cache_kw)
 
     def _resolve_reference_array(self, ex):
         if self.reference_array is not None:

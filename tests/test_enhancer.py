@@ -525,3 +525,17 @@ def test_mesh_mixed_cached_and_direct_batches(corpus, tmp_path):
     assert a and [p.name for p in a] == [p.name for p in b]
     for x, y in zip(a, b):
         assert x.read_bytes() == y.read_bytes(), x.name
+
+
+@pytest.mark.slow
+def test_enhancer_warmup_derives_shapes(corpus, tmp_path):
+    """Enhancer.warmup compiles the session's real shapes (channels from
+    the multiarray selection, classes from the activity, dtype from the
+    files) without touching the device dispatch path."""
+    info, root, json_path = corpus
+    enhancer = get_enhancer(
+        database_path=str(json_path), wpe=False, multiarray=True, **SMALL)
+    enhancer.warmup('S02')               # no exception = lower + compile
+    enhancer.enhance_session(['S02'], tmp_path / 'audio',
+                             dataset_slice=1, audio_dir_exist_ok=True)
+    assert list((tmp_path / 'audio' / 'dev').glob('*.wav'))
