@@ -378,6 +378,16 @@ class Enhancer:
 
         from pb_chime5_tpu.parallel.batch_driver import BatchDispatcher
 
+        if (utterances_per_device > 1 and self.gss_config.wpe
+                and self.gss_config.wpe_chunk_size is None):
+            # unchunked WPE materializes the (F, taps*D, T) stacked
+            # signal (~2.6 GB at the 24-channel headline shape) PER
+            # batch row — several rows per chip exceed a 16 GB HBM.
+            print('WARNING: utterances_per_device > 1 with unchunked '
+                  'WPE: consider GssConfig(wpe_chunk_size=512) to bound '
+                  'per-row HBM (numerically identical, reassociation '
+                  'only)', flush=True)
+
         dispatcher = BatchDispatcher(
             mesh, self._pipeline,
             utterances_per_device=utterances_per_device)
