@@ -190,3 +190,46 @@ def test_freq_sharded_with_pallas_em(rng):
         config=GssConfig(wpe=False, bss_iterations=3),
         num_output_samples=N))
     np.testing.assert_allclose(out_sharded, out_local, atol=2e-3)
+
+
+@pytest.mark.slow
+def test_sharded_chunked_wpe_matches_unchunked():
+    """wpe_chunk_size (the HBM-bounding mode recommended for
+    utterances_per_device > 1) under the sharded data x freq mesh:
+    vmap(scan(dynamic_slice)) composes, and the chunked statistics match
+    the materialized path to float32 reassociation on a GUIDED scene
+    (all-ones activity would leave the mixture permutation-free and any
+    roundoff flips the class assignment)."""
+    import jax.numpy as jnp
+    from pb_chime5_tpu.models.gss import GssConfig
+    from pb_chime5_tpu.parallel.mesh import make_mesh, sharded_gss_enhance
+    from pb_chime5_tpu.utils import activity_time_to_frequency
+
+    mesh = make_mesh(data=4, freq=2)
+    rng = np.random.default_rng(0)
+    B, D, N, K = 8, 4, 4000, 3
+    obs = rng.standard_normal((B, D, N)).astype(np.float32)
+    act = np.zeros((K, N), bool)
+    act[0, :2500] = True
+    act[1, 1500:] = True
+    act[2] = True
+    act_f = activity_time_to_frequency(
+        act, 256, 64, stft_fading=True, stft_pad=True).astype(np.int8)
+    act_b = np.broadcast_to(act_f, (B,) + act_f.shape).copy()
+    tgt = np.zeros(B, np.int32)
+    valid = np.full(B, N, np.int32)
+    outs = {}
+    for name, chunk in [('unchunked', None), ('chunked', 32)]:
+        cfg = GssConfig(stft_size=256, stft_shift=64, wpe=True,
+                        wpe_taps=2, wpe_iterations=1, bss_iterations=2,
+                        wpe_chunk_size=chunk)
+        x = np.asarray(sharded_gss_enhance(
+            mesh, jnp.asarray(obs), jnp.asarray(act_b),
+            jnp.asarray(tgt), jnp.asarray(valid), config=cfg,
+            num_output_samples=N))
+        assert np.isfinite(x).all()
+        outs[name] = x
+    scale = np.abs(outs['unchunked']).max()
+    np.testing.assert_allclose(outs['chunked'] / scale,
+                               outs['unchunked'] / scale,
+                               rtol=0, atol=1e-4)
