@@ -49,7 +49,8 @@ def make_experiment(get_enhancer_fn=get_enhancer, default_storage='runs'):
     experiment.add_config_from_signature(get_enhancer_fn)
     experiment.add_config({'session_id': 'dev', 'chime6': False,
                            'mesh': None, 'mesh_freq': 1,
-                           'utterances_per_device': 1})
+                           'utterances_per_device': 1,
+                           'warmup': False})
     experiment.named_config('multiarray', {
         'bf_drop_context': True,
         'multiarray': True,
@@ -63,6 +64,7 @@ def make_experiment(get_enhancer_fn=get_enhancer, default_storage='runs'):
         mesh_cfg = cfg.pop('mesh', None)
         mesh_freq = int(cfg.pop('mesh_freq', 1) or 1)
         utterances_per_device = int(cfg.pop('utterances_per_device', 1))
+        warmup = bool(cfg.pop('warmup', False))
         mesh = None
         if mesh_cfg not in (None, False, 'None'):
             import jax
@@ -87,6 +89,11 @@ def make_experiment(get_enhancer_fn=get_enhancer, default_storage='runs'):
         session_ids = get_session_ids(session_id)
         print('Enhancer:', type(enhancer).__name__)
         print('Sessions:', session_ids)
+        if warmup:
+            # AOT compile every bucket program for the first session's
+            # real shapes (with the persistent compile cache this makes
+            # the first utterance of a fresh process full speed)
+            enhancer.warmup(session_ids[0])
         enhancer.enhance_session(
             session_ids,
             exp.run_dir / 'audio',
