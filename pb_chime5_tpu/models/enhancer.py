@@ -85,6 +85,66 @@ class Activity:
         raise ValueError(self.type)
 
 
+def async_session_pump(items, prepare, dispatch, finish, id_of, *,
+                       on_error='raise', prefetch=2, write_ahead=4):
+    """The serial session loops' shared prefetch / dispatch-ahead /
+    writer pump (used by the CHiME-5/6 driver and the RTTM variant).
+
+    ``items`` is consumed LAZILY (dynamic schedulers claim on pull);
+    ``prepare(item)`` runs on a single prefetch thread (host I/O);
+    ``dispatch(item, prepared)`` runs on the main thread and returns the
+    writer arguments (async device dispatch happens here);
+    ``finish(*args)`` runs on a single writer thread (blocks on the
+    device result, writes the WAV, signals completion).  Errors in
+    either phase print the failing item id; ``on_error='raise'``
+    re-raises, ``'skip'`` prints the traceback and continues.
+    """
+    import collections
+    import concurrent.futures
+    import traceback
+
+    def handle_error(item_id):
+        # called from an active except block: bare raise re-raises
+        print('ERROR: Failed example:', item_id)
+        if on_error == 'raise':
+            raise
+        assert on_error == 'skip', on_error
+        traceback.print_exc()
+
+    with concurrent.futures.ThreadPoolExecutor(1) as pool, \
+            concurrent.futures.ThreadPoolExecutor(1) as writer:
+        window = collections.deque()
+        pending = collections.deque()    # (item_id, writer future)
+        it = iter(items)
+        for item in it:
+            window.append((item, pool.submit(prepare, item)))
+            if len(window) >= prefetch:
+                break
+
+        def drain(item_id, future):
+            try:
+                future.result()
+            except Exception:
+                handle_error(item_id)
+
+        while window:
+            item, future = window.popleft()
+            nxt = next(it, None)
+            if nxt is not None:
+                window.append((nxt, pool.submit(prepare, nxt)))
+            item_id = id_of(item)
+            try:
+                args = dispatch(item, future.result())
+            except Exception:
+                handle_error(item_id)
+                continue
+            pending.append((item_id, writer.submit(finish, *args)))
+            while len(pending) > write_ahead:
+                drain(*pending.popleft())
+        while pending:
+            drain(*pending.popleft())
+
+
 def start_end_context_frames(ex, stft_size, stft_shift, stft_fading):
     """Frames of acoustic context at both ends (reference
     core.py:217-238)."""
@@ -255,9 +315,7 @@ class Enhancer:
         # the current one — the reference is synchronous here (it is
         # CPU-bound anyway); on TPU the device would otherwise idle
         # during I/O.  The window is bounded so at most ``prefetch``
-        # loaded observations are resident.
-        import collections
-        import concurrent.futures
+        # loaded observations are resident (async_session_pump).
 
         # Completion-aware scheduling: FileQueueScheduler.shard returns an
         # object whose done markers WE write (mark_complete) once the
@@ -288,87 +346,60 @@ class Enhancer:
         prepare = _functools.partial(self._prepare_example,
                                      use_cache=True)
 
+        cache_since = self._cache_stats_snapshot()
         if mesh is not None:
             return self._session_loop_mesh(
                 todo, prepare, mesh, utterances_per_device, audio_dir,
-                mark_complete, progress, on_error, write_ahead)
+                mark_complete, progress, on_error, write_ahead,
+                cache_since)
 
-        prefetch = 2
-        with concurrent.futures.ThreadPoolExecutor(1) as pool, \
-                concurrent.futures.ThreadPoolExecutor(1) as writer:
-            window = collections.deque()
-            pending = collections.deque()   # (example_id, writer future)
-            todo_iter = iter(todo)
-            for ex in todo_iter:
-                window.append((ex, pool.submit(prepare, ex)))
-                if len(window) >= prefetch:
-                    break
+        def finish(example_id, session_id, handle, trim):
+            # runs on the writer thread: blocks on the device result
+            # (the main thread keeps loading + dispatching meanwhile),
+            # writes the WAV, then signals durable completion
+            x_hat = self._finish_dispatched(handle, trim)
+            assert x_hat.ndim == 1, x_hat.shape
+            dataset = mapping.session_to_dataset[session_id]
+            dump_audio(x_hat,
+                       audio_dir / dataset / f'{example_id}.wav')
+            if mark_complete is not None:
+                mark_complete(example_id)
+            if progress is not None:
+                progress(example_id)
 
-            def finish(example_id, session_id, handle, trim):
-                # runs on the writer thread: blocks on the device result
-                # (the main thread keeps loading + dispatching meanwhile),
-                # writes the WAV, then signals durable completion
-                x_hat = self._finish_dispatched(handle, trim)
-                assert x_hat.ndim == 1, x_hat.shape
-                dataset = mapping.session_to_dataset[session_id]
-                dump_audio(x_hat,
-                           audio_dir / dataset / f'{example_id}.wav')
-                if mark_complete is not None:
-                    mark_complete(example_id)
-                if progress is not None:
-                    progress(example_id)
+        def dispatch(ex, prepared):
+            reference_array, obs = prepared
+            handle, trim = self._dispatch_loaded(ex, reference_array, obs)
+            return ex['example_id'], ex['session_id'], handle, trim
 
-            def drain(example_id, future):
-                try:
-                    future.result()
-                except Exception:
-                    print('ERROR: Failed example:', example_id)
-                    if on_error == 'raise':
-                        raise
-                    assert on_error == 'skip', on_error
-                    import traceback
-                    traceback.print_exc()
+        async_session_pump(
+            todo, prepare, dispatch, finish,
+            lambda ex: ex['example_id'],
+            on_error=on_error, write_ahead=write_ahead)
+        self._log_cache_stats(cache_since)
 
-            while window:
-                ex, future = window.popleft()
-                nxt = next(todo_iter, None)
-                if nxt is not None:
-                    window.append((nxt, pool.submit(prepare, nxt)))
-                example_id = ex['example_id']
-                try:
-                    reference_array, obs = future.result()
-                    handle, trim = self._dispatch_loaded(
-                        ex, reference_array, obs)
-                except Exception:
-                    print('ERROR: Failed example:', example_id)
-                    if on_error == 'raise':
-                        raise
-                    assert on_error == 'skip', on_error
-                    import traceback
-                    traceback.print_exc()
-                    continue
-                pending.append((example_id, writer.submit(
-                    finish, example_id, ex['session_id'], handle, trim)))
-                while len(pending) > write_ahead:
-                    drain(*pending.popleft())
-            while pending:
-                drain(*pending.popleft())
-        self._log_cache_stats()
-
-    def _log_cache_stats(self):
-        """One observability line per enhance_session: how the
-        device-resident session-audio cache behaved (hits serve from the
-        resident window; 'direct' = fallback uploads)."""
+    def _log_cache_stats(self, since=None):
+        """One observability line per enhance_session call: how the
+        device-resident session-audio cache behaved during THIS call
+        (stats are cumulative on the cache object; ``since`` is the
+        snapshot taken at call entry).  hits serve from the resident
+        window; 'direct' = fallback uploads."""
         if self._audio_cache is not None:
-            print('session-audio cache:', dict(self._audio_cache.stats),
-                  flush=True)
+            stats = dict(self._audio_cache.stats)
+            if since:
+                stats = {k: v - since.get(k, 0) for k, v in stats.items()}
+            print('session-audio cache:', stats, flush=True)
+
+    def _cache_stats_snapshot(self):
+        return (dict(self._audio_cache.stats)
+                if self._audio_cache is not None else None)
 
     # ------------------------------------------------------------------
 
     def _session_loop_mesh(self, todo, prepare, mesh,
                            utterances_per_device, audio_dir,
                            mark_complete, progress, on_error,
-                           write_ahead):
+                           write_ahead, cache_since=None):
         """Mesh-batched variant of the session loop: same prefetch +
         writer-thread structure, but utterances are collated by the
         BatchDispatcher and each full bucket group runs as one sharded
@@ -487,33 +518,61 @@ class Enhancer:
         in-graph-scaling programs), plus the session-audio-cache
         variants when the cache is enabled.  With the persistent
         compilation cache this makes the first real utterance of a
-        fresh process start at full speed."""
-        ex = self.get_iterator(session_id)[0]
-        reference_array = self._resolve_reference_array(ex)
-        spans = self._cache_spans(ex, reference_array)
-        num_channels = 0
-        first_path = None
-        for paths, _s, _e, sel in spans:
-            if not isinstance(paths, (list, tuple)):
-                paths = [paths]
-            if first_path is None:
-                first_path = paths[0]
-            selected = (list(range(len(paths)))[sel]
-                        if isinstance(sel, slice) else sel)
-            num_channels += len(selected)
-        num_classes = len(
-            self._example_activity(ex, reference_array))
-        probe = load_audio(first_path, start=0, stop=1, dtype=None)
-        dtype = (np.int16 if probe.dtype == np.int16
-                 and np.dtype(self.compute_dtype) == np.float32
-                 else self.compute_dtype)
-        cache_kw = {}
-        if self._audio_cache is not None:
-            cache_kw = dict(num_arrays=len(spans),
-                            cache_window_samples=self._audio_cache.window)
-        self._pipeline.warmup(num_channels, num_classes, dtype=dtype,
-                              lengths=lengths, parallel=parallel,
-                              **cache_kw)
+        fresh process start at full speed.  (Warms the SERIAL programs —
+        the mesh loop's sharded batch programs compile on their first
+        batch.)"""
+        it = self.get_iterator(session_id)
+        ex = it[0]
+        try:
+            # chime6 multiarray sessions may carry no 'ref' tag; only the
+            # multiarray=False paths actually need the reference array
+            reference_array = self._resolve_reference_array(ex)
+        except Exception:
+            reference_array = None
+
+        def shape_of(example):
+            spans = self._cache_spans(example, reference_array)
+            n = 0
+            first = None
+            for paths, _s, _e, sel in spans:
+                if not isinstance(paths, (list, tuple)):
+                    paths = [paths]
+                if first is None:
+                    first = paths[0]
+                selected = (list(range(len(paths)))[sel]
+                            if isinstance(sel, slice) else sel)
+                n += len(selected)
+            return n, len(spans), first
+
+        # per-example dropped arrays (create_json's missing-array edits)
+        # give some utterances a different channel count: warm every
+        # distinct shape the session will dispatch
+        shapes = {}
+        for example in it:
+            n, a, first = shape_of(example)
+            shapes.setdefault((n, a), first)
+        num_classes = len(self._example_activity(ex, reference_array))
+        for (num_channels, num_arrays), first_path in shapes.items():
+            probe = load_audio(first_path, start=0, stop=1, dtype=None)
+            dtype = (np.int16 if probe.dtype == np.int16
+                     and np.dtype(self.compute_dtype) == np.float32
+                     else self.compute_dtype)
+            cache_kw = {}
+            if self._audio_cache is not None:
+                # buckets longer than the window can never dispatch
+                # through the cache (lookup rejects them) — don't
+                # compile dead cached programs
+                w = self._audio_cache.window
+                m = self._audio_cache.margin
+                usable = [n for n in (lengths if lengths is not None
+                                      else self.length_buckets or ())
+                          if self._pipeline.bucket_length(n) + m <= w]
+                cache_kw = dict(num_arrays=num_arrays,
+                                cache_window_samples=w,
+                                cache_lengths=usable)
+            self._pipeline.warmup(num_channels, num_classes, dtype=dtype,
+                                  lengths=lengths, parallel=parallel,
+                                  **cache_kw)
 
     def _resolve_reference_array(self, ex):
         if self.reference_array is not None:

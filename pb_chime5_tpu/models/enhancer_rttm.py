@@ -18,7 +18,8 @@ from pb_chime5_tpu.database.rttm import (
     RTTMDatabase, get_chime6_files, groupby, normalize_rttm_file_ids)
 from pb_chime5_tpu.io import dump_audio
 from pb_chime5_tpu.models.gss import GssConfig, GssPipeline
-from pb_chime5_tpu.models.enhancer import DEFAULT_LENGTH_BUCKETS
+from pb_chime5_tpu.models.enhancer import (
+    DEFAULT_LENGTH_BUCKETS, async_session_pump)
 from pb_chime5_tpu.models.enhancer_chime6 import start_end_context_frames
 from pb_chime5_tpu.parallel.scheduler import length_balanced_shard
 from pb_chime5_tpu.utils.activity_freq import activity_time_to_frequency
@@ -141,47 +142,23 @@ class Enhancer:
         example_ids = list(it.keys())
         lengths = {eid: meta[eid]['num_samples'] for eid in example_ids}
 
-        # Async session loop like the CHiME-5 driver: the eager
-        # min-length-truncating audio read (the RTTM variant's I/O,
-        # reference core_chime6_rttm.py:529-547) runs on a prefetch
-        # thread, the device program is dispatched ahead, and a writer
-        # thread blocks on results + writes WAVs — the chip never idles
-        # on disk or WAV output.  Error semantics stay the reference's:
-        # print the failing example id, then re-raise
-        # (core_chime6_rttm.py:168-185).
-        import collections
-        import concurrent.futures
-
-        def dispatch(ex):
-            """Host prep + async device dispatch -> (handle, trim)."""
-            session_id = ex['session_id']
-            ex_array_activity = {
-                k: arr[ex['start']:ex['end']]
-                for k, arr in self.activity[session_id].items()
-            }
-            activity_freq = activity_time_to_frequency(
-                np.array(list(ex_array_activity.values())),
-                stft_window_length=self.stft_size,
-                stft_shift=self.stft_shift,
-                stft_fading=self.stft_fading,
-                stft_pad=True,
-            )
-            if self.bf_drop_context:
-                start_cf, end_cf = start_end_context_frames(
-                    ex, stft_size=self.stft_size,
-                    stft_shift=self.stft_shift,
-                    stft_fading=self.stft_fading)
-            else:
-                start_cf = end_cf = 0
-            target_index = tuple(
-                ex_array_activity.keys()).index(ex['speaker_id'])
+        # Async session loop sharing the CHiME-5 driver's pump: the
+        # eager min-length-truncating audio read (the RTTM variant's
+        # I/O, reference core_chime6_rttm.py:529-547) runs on the
+        # prefetch thread, the device program is dispatched ahead, and
+        # the writer thread blocks on results + writes WAVs.  Error
+        # semantics stay the reference's: print the failing example id,
+        # then re-raise (core_chime6_rttm.py:168-185) = on_error='raise'.
+        def dispatch(example_id, ex):
+            activity_freq, target_index, start_cf, end_cf = \
+                self._device_args(ex)
             handle = self._pipeline.dispatch(
                 ex['audio_data'], activity_freq, target_index,
                 start_context_frames=start_cf, end_context_frames=end_cf)
             trim = ((ex['start_orig'] - ex['start'],
                      ex['num_samples_orig'])
                     if self.context_samples > 0 else None)
-            return handle, trim, ex['session_id']
+            return example_id, handle, trim, ex['session_id']
 
         def finish(example_id, handle, trim, session_id):
             x_hat = self._pipeline.gather(handle)
@@ -193,60 +170,47 @@ class Enhancer:
             if progress is not None:
                 progress(example_id)
 
-        def drain(example_id, future):
-            try:
-                future.result()
-            except Exception:
-                print('ERROR: Failed example:', example_id)
-                raise
+        async_session_pump(
+            shard_fn(example_ids, lengths.__getitem__),
+            it.__getitem__, dispatch, finish, lambda eid: eid,
+            on_error='raise')
 
-        shard = shard_fn(example_ids, lengths.__getitem__)
-        prefetch, write_ahead = 2, 4
-        with concurrent.futures.ThreadPoolExecutor(1) as pool, \
-                concurrent.futures.ThreadPoolExecutor(1) as writer:
-            window = collections.deque()
-            pending = collections.deque()    # (example_id, writer future)
-            todo_iter = iter(shard)
-            for example_id in todo_iter:
-                window.append(
-                    (example_id, pool.submit(it.__getitem__, example_id)))
-                if len(window) >= prefetch:
-                    break
-            while window:
-                example_id, future = window.popleft()
-                nxt = next(todo_iter, None)
-                if nxt is not None:
-                    window.append(
-                        (nxt, pool.submit(it.__getitem__, nxt)))
-                try:
-                    ex = future.result()
-                    handle, trim, session_id = dispatch(ex)
-                except Exception:
-                    print('ERROR: Failed example:', example_id)
-                    raise
-                pending.append((example_id, writer.submit(
-                    finish, example_id, handle, trim, session_id)))
-                while len(pending) > write_ahead:
-                    drain(*pending.popleft())
-            while pending:
-                drain(*pending.popleft())
-
-    def enhance_example(self, ex):
-        session_id = ex['session_id']
-        speaker_id = ex['speaker_id']
-        array_start = ex['start']
-        array_end = ex['end']
-
-        ex_array_activity = {
-            k: arr[array_start:array_end]
-            for k, arr in self.activity[session_id].items()
+    def _example_activity(self, ex):
+        return {
+            k: arr[ex['start']:ex['end']]
+            for k, arr in self.activity[ex['session_id']].items()
         }
 
-        obs = ex['audio_data']
+    def _device_args(self, ex, ex_array_activity=None, speaker_id=None):
+        """Host prep shared by the async dispatch and the public
+        enhance_observation: (activity_freq, target_index,
+        start/end context frames)."""
+        if ex_array_activity is None:
+            ex_array_activity = self._example_activity(ex)
+        if speaker_id is None:
+            speaker_id = ex['speaker_id']
+        activity_freq = activity_time_to_frequency(
+            np.array(list(ex_array_activity.values())),
+            stft_window_length=self.stft_size,
+            stft_shift=self.stft_shift,
+            stft_fading=self.stft_fading,
+            stft_pad=True,
+        )
+        if self.bf_drop_context:
+            start_cf, end_cf = start_end_context_frames(
+                ex, stft_size=self.stft_size,
+                stft_shift=self.stft_shift,
+                stft_fading=self.stft_fading)
+        else:
+            start_cf = end_cf = 0
+        target_index = tuple(ex_array_activity.keys()).index(speaker_id)
+        return activity_freq, target_index, start_cf, end_cf
 
+    def enhance_example(self, ex):
         x_hat = self.enhance_observation(
-            obs, ex_array_activity=ex_array_activity,
-            speaker_id=speaker_id, ex=ex)
+            ex['audio_data'],
+            ex_array_activity=self._example_activity(ex),
+            speaker_id=ex['speaker_id'], ex=ex)
 
         if self.context_samples > 0:
             start_context = ex['start_orig'] - ex['start']
@@ -256,27 +220,12 @@ class Enhancer:
 
     def enhance_observation(self, obs, ex_array_activity, speaker_id,
                             ex=None):
-        activity_freq = activity_time_to_frequency(
-            np.array(list(ex_array_activity.values())),
-            stft_window_length=self.stft_size,
-            stft_shift=self.stft_shift,
-            stft_fading=self.stft_fading,
-            stft_pad=True,
-        )
-        if self.bf_drop_context:
-            start_context_frames, end_context_frames = \
-                start_end_context_frames(
-                    ex, stft_size=self.stft_size,
-                    stft_shift=self.stft_shift,
-                    stft_fading=self.stft_fading)
-        else:
-            start_context_frames = end_context_frames = 0
-
-        target_index = tuple(ex_array_activity.keys()).index(speaker_id)
+        activity_freq, target_index, start_cf, end_cf = \
+            self._device_args(ex, ex_array_activity, speaker_id)
         x_hat, _ = self._pipeline(
             obs, activity_freq, target_index,
-            start_context_frames=start_context_frames,
-            end_context_frames=end_context_frames,
+            start_context_frames=start_cf,
+            end_context_frames=end_cf,
         )
         return x_hat
 

@@ -602,7 +602,7 @@ class GssPipeline:
 
     def warmup(self, num_channels, num_classes, *, dtype=None,
                lengths=None, parallel=True, cache_window_samples=None,
-               num_arrays=None):
+               num_arrays=None, cache_lengths=None):
         """Ahead-of-time compile the enhancement programs for every
         length bucket.
 
@@ -613,7 +613,9 @@ class GssPipeline:
 
         When ``cache_window_samples`` (and ``num_arrays``) are given, the
         session-audio-cache variants (:func:`gss_enhance_cached` /
-        :func:`_gss_front_cached`) are compiled too.
+        :func:`_gss_front_cached`) are compiled too — for
+        ``cache_lengths`` (default: ``lengths``; pass only the buckets
+        that actually fit the window).
         """
         import concurrent.futures
 
@@ -628,7 +630,11 @@ class GssPipeline:
             cache_s = jax.ShapeDtypeStruct(
                 (num_channels, cache_window_samples), dtype)
             offs_s = jax.ShapeDtypeStruct((A,), jnp.int32)
-            for N_pad in lengths:
+            cached_bucket_lengths = sorted(
+                {self.bucket_length(n) for n in (
+                    cache_lengths if cache_lengths is not None
+                    else lengths)})
+            for N_pad in cached_bucket_lengths:
                 T_pad = self.frame_count(N_pad)
                 act_s = jax.ShapeDtypeStruct(
                     (num_classes, T_pad), jnp.int8)

@@ -89,11 +89,18 @@ def make_experiment(get_enhancer_fn=get_enhancer, default_storage='runs'):
         session_ids = get_session_ids(session_id)
         print('Enhancer:', type(enhancer).__name__)
         print('Sessions:', session_ids)
-        if warmup:
+        if warmup and mesh is None:
             # AOT compile every bucket program for the first session's
             # real shapes (with the persistent compile cache this makes
             # the first utterance of a fresh process full speed)
             enhancer.warmup(session_ids[0])
+        elif warmup:
+            # the mesh loop dispatches SHARDED batch programs, which
+            # compile on their first batch — the serial warmup would
+            # burn minutes compiling programs a mesh run never uses
+            print('warmup=True ignored with mesh=... '
+                  '(sharded programs compile on the first batch)',
+                  flush=True)
         enhancer.enhance_session(
             session_ids,
             exp.run_dir / 'audio',
