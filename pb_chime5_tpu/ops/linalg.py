@@ -273,6 +273,16 @@ def _cholesky_panels(A, *, block=32, precision=None):
     dp = d + pad
     nb = dp // block
 
+    # Pivot floor RELATIVE to the matrix scale (same rationale as
+    # gauss_jordan_inverse_and_logdet): eps^2 * maxdiag, not an absolute
+    # eps^2, so legitimately tiny-scale HPD inputs are not silently
+    # mis-factorized (ADVICE r3).  maxdiag is taken from the ORIGINAL
+    # diagonal — for HPD inputs the Schur-complement diagonals only
+    # shrink, so one floor serves every panel.
+    diag0 = jnp.einsum('...ii->...i', A).real
+    pivfloor = jnp.maximum(
+        jnp.max(diag0, axis=-1) * jnp.finfo(rdtype).eps ** 2, tiny)
+
     def factor_panel(panel):
         """panel (..., b, b): the diagonal pivot block.  b rank-1 steps
         produce its Cholesky factor L11 AND inv(L11), built row-by-row in
@@ -295,14 +305,14 @@ def _cholesky_panels(A, *, block=32, precision=None):
             col = jnp.sum(P * ec[None, :], axis=-1)           # (..., m)
             diag = jnp.sum(
                 col * (idx_row == p).astype(P.dtype), axis=-1).real
-            # Relative pivot floor (eps^2 of the equilibrated ~unit
-            # scale), NOT absolute tiny: a rounding-negative pivot
-            # clamped at tiny gives 1/sqrt(tiny) ~ 9e18 whose trailing
-            # updates overflow float32 to inf and NaN the factorization
-            # (observed with under-regularized WPE statistics); eps^2
-            # keeps the multipliers <= ~1/eps — large, finite, graceful.
-            rpiv = jnp.sqrt(jnp.maximum(
-                diag, jnp.finfo(rdtype).eps ** 2))
+            # Relative pivot floor (eps^2 * max original diagonal), NOT
+            # absolute tiny: a rounding-negative pivot clamped at tiny
+            # gives 1/sqrt(tiny) ~ 9e18 whose trailing updates overflow
+            # float32 to inf and NaN the factorization (observed with
+            # under-regularized WPE statistics); the relative floor
+            # keeps the multipliers <= ~1/eps of the matrix scale —
+            # large, finite, graceful.
+            rpiv = jnp.sqrt(jnp.maximum(diag, pivfloor))
             # rows above the pivot inside the pivot block hold stale
             # already-eliminated values; masking them out of lcol keeps
             # them from feeding back into the updates (they would grow
@@ -376,8 +386,10 @@ def blocked_cholesky(A, *, block=32, precision=None,
 
     A (..., d, d) -> lower-triangular L with A = L L^H.  Entries above the
     diagonal are zeroed.  The caller must ensure positive definiteness
-    (diagonal loading); non-PD pivots are floored at tiny, producing large
-    but finite results.
+    (diagonal loading); non-PD pivots are floored at
+    ``eps^2 * max(diag(A))`` per matrix (scale-relative, so tiny-scale
+    HPD inputs factorize correctly too), producing large but finite
+    results.
     """
     A = jnp.asarray(A)
     col_blocks, inv_blocks, d, pad = _cholesky_panels(

@@ -33,7 +33,8 @@ from pb_chime5_tpu.models.gss import (
 from pb_chime5_tpu.ops.stft import istft
 
 __all__ = ['make_mesh', 'batched_gss_enhance', 'sharded_gss_enhance',
-           'sharded_gss_enhance_cached']
+           'sharded_gss_enhance_cached', 'sharded_gss_fn',
+           'sharded_gss_cached_fn']
 
 
 def make_mesh(data: int = None, freq: int = 1, devices=None) -> Mesh:
@@ -124,23 +125,21 @@ def batched_gss_enhance(obs, activity_freq, target_index,
         config=config, num_output_samples=num_output_samples)
 
 
-def sharded_gss_enhance(mesh: Mesh, obs, activity_freq, target_index,
-                        num_valid_samples, *, config: GssConfig,
-                        num_output_samples: int,
-                        start_context_frames=None,
-                        end_context_frames=None):
-    """Data x frequency sharded batch enhancement over ``mesh``.
+@functools.lru_cache(maxsize=None)
+def sharded_gss_fn(mesh: Mesh, config: GssConfig,
+                   num_output_samples: int):
+    """The compiled-callable factory behind :func:`sharded_gss_enhance`.
 
-    obs (B, D, N) with B divisible by the ``data`` axis size.  Returns
-    (B, num_output_samples) sharded over ``data``.
+    Hoisted to a module-level ``lru_cache`` keyed on the STATIC
+    quantities (mesh, config, output length) so every batch the session
+    loop dispatches reuses one traced/compiled executable — a fresh
+    closure + ``jax.jit`` per call would retrace per batch (ADVICE r3).
+    The cached callable is also what mesh WARMUP lowers ahead of time
+    (``GssPipeline.warmup_mesh``).
     """
-    nd = mesh.shape['data']
     nf = mesh.shape['freq']
-    B = obs.shape[0]
-    assert B % nd == 0, (B, nd)
     F = config.stft_size // 2 + 1
     freq_pad = (-F) % nf
-
     snr_reduce = (lambda x: jax.lax.psum(x, 'freq')) if nf > 1 else None
 
     def per_device(obs_l, act_l, tgt_l, valid_l, scf_l, ecf_l):
@@ -158,10 +157,61 @@ def sharded_gss_enhance(mesh: Mesh, obs, activity_freq, target_index,
         out_specs=P('data'),
         check_vma=False,
     )
-    return jax.jit(shard)(
+    return jax.jit(shard)
+
+
+def sharded_gss_enhance(mesh: Mesh, obs, activity_freq, target_index,
+                        num_valid_samples, *, config: GssConfig,
+                        num_output_samples: int,
+                        start_context_frames=None,
+                        end_context_frames=None):
+    """Data x frequency sharded batch enhancement over ``mesh``.
+
+    obs (B, D, N) with B divisible by the ``data`` axis size.  Returns
+    (B, num_output_samples) sharded over ``data``.
+    """
+    nd = mesh.shape['data']
+    B = obs.shape[0]
+    assert B % nd == 0, (B, nd)
+    fn = sharded_gss_fn(mesh, config, num_output_samples)
+    return fn(
         obs, activity_freq, target_index, num_valid_samples,
         _zeros_like_batch(start_context_frames, obs),
         _zeros_like_batch(end_context_frames, obs))
+
+
+@functools.lru_cache(maxsize=None)
+def sharded_gss_cached_fn(mesh: Mesh, config: GssConfig,
+                          num_arrays: int, slice_samples: int,
+                          num_output_samples: int):
+    """Cached-callable factory behind :func:`sharded_gss_enhance_cached`
+    (same rationale as :func:`sharded_gss_fn`)."""
+    nf = mesh.shape['freq']
+    F = config.stft_size // 2 + 1
+    freq_pad = (-F) % nf
+    snr_reduce = (lambda x: jax.lax.psum(x, 'freq')) if nf > 1 else None
+
+    def per_device(cache_l, offs_l, act_l, tgt_l, valid_l, scf_l, ecf_l):
+        rows = [
+            _slice_cached_obs(cache_l, offs_l[b], num_arrays,
+                              slice_samples, valid_l[b])
+            for b in range(offs_l.shape[0])]
+        obs_l = jnp.stack(rows)
+        fn = functools.partial(
+            _single, config=config,
+            num_output_samples=num_output_samples,
+            snr_reduce=snr_reduce, freq_pad=freq_pad if nf > 1 else 0,
+            num_freq_shards=nf)
+        return jax.vmap(fn)(obs_l, act_l, tgt_l, valid_l, scf_l, ecf_l)
+
+    shard = jax.shard_map(
+        per_device, mesh=mesh,
+        in_specs=(P(), P('data'), P('data'), P('data'), P('data'),
+                  P('data'), P('data')),
+        out_specs=P('data'),
+        check_vma=False,
+    )
+    return jax.jit(shard)
 
 
 def sharded_gss_enhance_cached(
@@ -186,35 +236,11 @@ def sharded_gss_enhance_cached(
     Returns (B, num_output_samples) sharded over ``data``.
     """
     nd = mesh.shape['data']
-    nf = mesh.shape['freq']
     B = offsets.shape[0]
     assert B % nd == 0, (B, nd)
-    F = config.stft_size // 2 + 1
-    freq_pad = (-F) % nf
-
-    snr_reduce = (lambda x: jax.lax.psum(x, 'freq')) if nf > 1 else None
-
-    def per_device(cache_l, offs_l, act_l, tgt_l, valid_l, scf_l, ecf_l):
-        rows = [
-            _slice_cached_obs(cache_l, offs_l[b], num_arrays,
-                              slice_samples, valid_l[b])
-            for b in range(offs_l.shape[0])]
-        obs_l = jnp.stack(rows)
-        fn = functools.partial(
-            _single, config=config,
-            num_output_samples=num_output_samples,
-            snr_reduce=snr_reduce, freq_pad=freq_pad if nf > 1 else 0,
-            num_freq_shards=nf)
-        return jax.vmap(fn)(obs_l, act_l, tgt_l, valid_l, scf_l, ecf_l)
-
-    shard = jax.shard_map(
-        per_device, mesh=mesh,
-        in_specs=(P(), P('data'), P('data'), P('data'), P('data'),
-                  P('data'), P('data')),
-        out_specs=P('data'),
-        check_vma=False,
-    )
-    return jax.jit(shard)(
+    fn = sharded_gss_cached_fn(mesh, config, num_arrays, slice_samples,
+                               num_output_samples)
+    return fn(
         cache, offsets, activity_freq, target_index, num_valid_samples,
         _zeros_like_batch(start_context_frames, offsets),
         _zeros_like_batch(end_context_frames, offsets))

@@ -89,18 +89,14 @@ def make_experiment(get_enhancer_fn=get_enhancer, default_storage='runs'):
         session_ids = get_session_ids(session_id)
         print('Enhancer:', type(enhancer).__name__)
         print('Sessions:', session_ids)
-        if warmup and mesh is None:
+        if warmup:
             # AOT compile every bucket program for the first session's
             # real shapes (with the persistent compile cache this makes
-            # the first utterance of a fresh process full speed)
-            enhancer.warmup(session_ids[0])
-        elif warmup:
-            # the mesh loop dispatches SHARDED batch programs, which
-            # compile on their first batch — the serial warmup would
-            # burn minutes compiling programs a mesh run never uses
-            print('warmup=True ignored with mesh=... '
-                  '(sharded programs compile on the first batch)',
-                  flush=True)
+            # the first utterance of a fresh process full speed).  With
+            # a mesh, this warms the SHARDED batch programs the mesh
+            # loop dispatches (direct + session-cache variants).
+            enhancer.warmup(session_ids[0], mesh=mesh,
+                            utterances_per_device=utterances_per_device)
         enhancer.enhance_session(
             session_ids,
             exp.run_dir / 'audio',

@@ -138,3 +138,17 @@ def test_solve_from_panels_matches_assembled_solve(rng, d):
                                                     inv_diag=invs2))
     np.testing.assert_allclose(X_panels, X_assembled, rtol=2e-5,
                                atol=2e-5)
+
+
+def test_blocked_cholesky_tiny_scale_hpd(rng):
+    """The pivot floor is RELATIVE to the matrix scale (ADVICE r3): an
+    HPD matrix with diagonal << eps^2 must still factorize to a usable
+    L (the old absolute eps^2 floor silently replaced every pivot)."""
+    import jax.numpy as jnp
+    from pb_chime5_tpu.ops.linalg import blocked_cholesky
+    d = 12
+    Ar = rng.standard_normal((d, d)) + 1j * rng.standard_normal((d, d))
+    M = (Ar @ Ar.conj().T + d * np.eye(d)) * 1e-25   # tiny-scale HPD
+    L = np.asarray(blocked_cholesky(jnp.asarray(M, jnp.complex128)))
+    rec = L @ L.conj().T
+    np.testing.assert_allclose(rec, M, rtol=1e-10, atol=1e-38)
