@@ -62,11 +62,14 @@ def _env():
 
 def _run_worker(json_path, audio_dir, mode, *, rank=0, world=1,
                 queue_dir=None, stale_seconds=3600.0, crash_after=None,
-                resume=False, wait=True, coordinator=None, run_id=None):
+                resume=False, wait=True, coordinator=None, run_id=None,
+                mesh=False):
     cmd = [sys.executable, str(WORKER),
            '--json-path', str(json_path), '--audio-dir', str(audio_dir),
            '--mode', mode, '--rank', str(rank), '--world', str(world),
            '--stale-seconds', str(stale_seconds)]
+    if mesh:
+        cmd += ['--mesh']
     if queue_dir is not None:
         cmd += ['--queue-dir', str(queue_dir)]
     if coordinator is not None:
@@ -183,3 +186,30 @@ def test_jax_distributed_two_processes(corpus, serial_hashes, tmp_path):
         assert got == '7', (rank, got)
     assert _wav_hashes(audio) == serial_hashes
     assert finished == [4, 4], finished   # process_info() saw (0,2)/(1,2)
+
+
+def test_jax_distributed_mesh_two_processes(corpus, serial_hashes,
+                                            tmp_path):
+    """The COMPOSED production pod-slice topology (VERDICT r3 next #3):
+    2 ``jax.distributed`` processes x 4 virtual CPU devices each, every
+    process running ``enhance_session(mesh=<local 4-device mesh>)`` with
+    ``length_balanced_shard`` splitting the utterance list across
+    processes (reference scale story: MPI pool to 600 cores,
+    core.py:381, README.md:108-113) — merged outputs byte-identical to
+    the serial run."""
+    import socket
+    audio = tmp_path / 'audio'
+    with socket.socket() as s:        # reserve a free localhost port
+        s.bind(('localhost', 0))
+        port = s.getsockname()[1]
+    procs = [_run_worker(corpus, audio, 'distributed', rank=r, world=2,
+                         coordinator=f'localhost:{port}', run_id=11,
+                         mesh=True, wait=False) for r in range(2)]
+    finished = []
+    for p in procs:
+        out, err = p.communicate(timeout=900)
+        assert p.returncode == 0, (out[-2000:], err[-4000:])
+        assert 'WORKER_OK' in out
+        finished.append(out.count('FINISHED'))
+    assert _wav_hashes(audio) == serial_hashes
+    assert finished == [4, 4], finished
