@@ -624,3 +624,24 @@ def test_mesh_dispatch_reuses_traced_executable(corpus, tmp_path):
     # a different static key is a different callable
     assert sharded_gss_fn(mesh, config, 32000) is not \
         sharded_gss_fn(mesh, config, 64000)
+
+
+def test_debug_example_aux_outputs(corpus, tmp_path):
+    """Enhancer.debug_example returns the per-EM-iteration introspection
+    (weights / logdet / condition / posterior_entropy) AND an x_hat
+    matching enhance_example (same trim, same math: the debug EM is the
+    unfused XLA path, which is the production backend on CPU)."""
+    info, root, json_path = corpus
+    enhancer = get_enhancer(
+        database_path=str(json_path), wpe=False, multiarray=False, **SMALL)
+    ex = enhancer.get_iterator('S02')[0]
+    out = enhancer.debug_example(ex)
+    x_ref = enhancer.enhance_example(ex)
+    np.testing.assert_allclose(out['x_hat'], x_ref, atol=1e-5)
+    K = out['masks'].shape[0]
+    I = SMALL['bss_iterations'] + SMALL.get('bss_iterations_post', 1) - 1
+    assert out['weights'].shape[0] == I
+    assert out['weights'].shape[-1] == K
+    np.testing.assert_allclose(out['weights'].sum(-1), 1.0, atol=1e-4)
+    assert np.isfinite(out['condition']).all()
+    assert np.isfinite(out['posterior_entropy']).all()
