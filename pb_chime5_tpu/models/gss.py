@@ -70,6 +70,18 @@ class GssConfig:
     # einsums, 'pallas' = fused statistics kernel (a measured dead end,
     # kept as an option).
     wpe_stats_backend: str = 'auto'
+    # iterative-refinement steps on the regularized WPE filter solve
+    # (residual against the UNLOADED correlation matrix).  Default 0:
+    # measured at the production stress shape (PARITY.md, ledger
+    # "Round 4: WPE solve iterative refinement"), refinement contracts
+    # the load bias only by sigma/(sigma+lambda) per mode — 9.63% ->
+    # 9.52% (1 step) -> 9.47% (2) vs the unregularized f64 oracle,
+    # because the deviation lives in near-null modes (sigma << 1e-4)
+    # that also NaN f32 at smaller loads even WITH refinement.  At
+    # well-conditioned (short/small) shapes 1 step is a 13x parity win
+    # (tests/test_wpe.py::test_solve_refine_cancels_regularization_bias);
+    # the knob is kept for such uses.
+    wpe_solve_refine: int = 0
 
     bss_iterations: int = 20
     bss_iterations_post: int = 1
@@ -155,6 +167,7 @@ def _wpe_stage(Obs_fdt, config: GssConfig, frame_mask):
         frame_mask=frame_mask,
         stats_backend=config.wpe_stats_backend,
         precision=config.wpe_precision,
+        solve_refine=config.wpe_solve_refine,
     )
 
 

@@ -526,7 +526,7 @@ def blocked_cholesky_solve(L, B, *, block=32, precision=None,
 
 
 def hermitian_solve(A, B, *, relative_load=None, method=None,
-                    precision=None):
+                    precision=None, refine: int = 0):
     """Solve ``A X = B`` for Hermitian (PSD) ``A`` without custom calls.
 
     Equilibrates ``A`` to unit diagonal, adds ``relative_load`` on that
@@ -534,6 +534,20 @@ def hermitian_solve(A, B, *, relative_load=None, method=None,
     conditioning-bounding in float32), inverts with unpivoted Gauss-Jordan
     (scalar pivots for D <= 32, blocked MXU pivot steps above), and applies
     the inverse to ``B``.
+
+    ``refine > 0`` runs that many iterative-refinement steps: the residual
+    ``r = B - A X`` is computed against the ORIGINAL (unloaded) matrix and
+    corrected through the already-factored loaded one
+    (``X += (A + load)^{-1} r``) — the classical way to keep a stabilizing
+    load while converging to the unregularized solution.  Each step costs
+    two (d, e)-shaped matmuls (one residual, one apply); the factorization
+    is reused.  Convergence caveat: the bias in an eigenmode with
+    eigenvalue ``sigma`` (of the equilibrated ``A``) contracts by
+    ``load / (sigma + load)`` per step, so refinement is fast exactly
+    where ``sigma >> load`` and useless for near-null modes — it cannot
+    substitute for the load on genuinely ill-conditioned systems
+    (measured: docs/ARCHITECTURE.md round-4 ledger, WPE solve
+    refinement).
 
     A (..., D, D), B (..., D, E) -> X (..., D, E).
     """
@@ -557,8 +571,9 @@ def hermitian_solve(A, B, *, relative_load=None, method=None,
     floor = jnp.where(maxdiag > 0, maxdiag * jnp.finfo(rdtype).eps, 1.0)
     s = jnp.sqrt(jnp.maximum(diag, floor))
     sinv = (1.0 / s).astype(A.dtype)
-    As = hermitize(A * sinv[..., :, None] * sinv[..., None, :])
-    As = As + jnp.asarray(relative_load, A.dtype) * jnp.eye(d, dtype=A.dtype)
+    As0 = hermitize(A * sinv[..., :, None] * sinv[..., None, :])
+    As = As0 + jnp.asarray(relative_load, A.dtype) * jnp.eye(d, dtype=A.dtype)
+    Bs = sinv[..., :, None] * B
     if method is None:
         # scalar GJ's D rank-1 VPU steps win for small matrices; blocked
         # Cholesky (MXU trailing updates, no explicit inverses — backward
@@ -566,24 +581,35 @@ def hermitian_solve(A, B, *, relative_load=None, method=None,
         method = 'gj' if d <= 32 else 'chol'
     if method == 'chol':
         col_blocks, invs, _, _ = _cholesky_panels(As, precision=precision)
-        X = _solve_from_panels(col_blocks, invs, sinv[..., :, None] * B,
-                               precision=precision)
-        return sinv[..., :, None] * X
-    if method == 'gj':
-        inv, _ = gauss_jordan_inverse_and_logdet(As)
-    elif method == 'block_gj':
-        # faster but less accurate than 'gj' on ill-conditioned inputs
-        # (the explicit block-pivot inverses compose cond(piv)*eps errors);
-        # fine for well-conditioned matrices
-        inv, _ = block_gauss_jordan_inverse_and_logdet(
-            As, precision=precision)
-    elif method == 'schur':
-        # research option only: overflows in float32 on highly
-        # self-correlated statistics (see block_gauss_jordan docstring)
-        inv, _ = schur_inverse_and_logdet(As, precision=precision)
+
+        def apply_inv(rhs):
+            return _solve_from_panels(col_blocks, invs, rhs,
+                                      precision=precision)
     else:
-        raise ValueError(method)
-    X = jnp.matmul(inv, sinv[..., :, None] * B, precision=precision)
+        if method == 'gj':
+            inv, _ = gauss_jordan_inverse_and_logdet(As)
+        elif method == 'block_gj':
+            # faster but less accurate than 'gj' on ill-conditioned inputs
+            # (the explicit block-pivot inverses compose cond(piv)*eps
+            # errors); fine for well-conditioned matrices
+            inv, _ = block_gauss_jordan_inverse_and_logdet(
+                As, precision=precision)
+        elif method == 'schur':
+            # research option only: overflows in float32 on highly
+            # self-correlated statistics (see block_gauss_jordan docstring)
+            inv, _ = schur_inverse_and_logdet(As, precision=precision)
+        else:
+            raise ValueError(method)
+
+        def apply_inv(rhs):
+            return jnp.matmul(inv, rhs, precision=precision)
+
+    X = apply_inv(Bs)
+    for _ in range(refine):
+        # residual against the UNLOADED equilibrated matrix: the
+        # correction removes the O(load) bias, not just roundoff
+        r = Bs - jnp.matmul(As0, X, precision=precision)
+        X = X + apply_inv(r)
     return sinv[..., :, None] * X
 
 

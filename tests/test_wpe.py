@@ -241,3 +241,37 @@ def test_real_stats_strip_splits_property(rng):
                            iterations=2, stats_backend='real'))
         np.testing.assert_allclose(b, a, atol=1e-9,
                                    err_msg=str((taps, D, T)))
+
+
+def test_solve_refine_cancels_regularization_bias(rng):
+    """Iterative refinement on the filter solve (VERDICT r3 next #5):
+    at the production load (1e-4), refine=1 must bring the WPE output
+    much closer to the UNREGULARIZED oracle than refine=0 — each
+    refinement step contracts the load bias by ~load/(load + sigma_min)
+    (measured here: 3.1e-3 -> 2.4e-4 -> 2.1e-5 for refine 0/1/2)."""
+    Y = _random_reverberant(rng, F=5, D=3, T=120)
+    want = ref.wpe_np(Y, taps=4, delay=1, iterations=2)   # unregularized
+
+    def dev(refine):
+        got = np.asarray(wpe(jnp.asarray(Y), taps=4, delay=1,
+                             iterations=2, regularization=1e-4,
+                             solve_refine=refine))
+        assert np.isfinite(got).all()
+        return float(np.linalg.norm(got - want) / np.linalg.norm(want))
+
+    d0, d1, d2 = dev(0), dev(1), dev(2)
+    assert d1 < d0 / 5, (d0, d1)        # first-order bias cancelled
+    assert d2 < d1, (d1, d2)            # further steps keep contracting
+
+
+def test_solve_refine_chunked_and_real_match(rng):
+    """solve_refine flows through all statistics backends/chunking and
+    they agree with each other."""
+    Y = _random_reverberant(rng, F=4, D=2, T=90)
+    kw = dict(taps=3, delay=1, iterations=2, regularization=1e-4,
+              solve_refine=1)
+    base = np.asarray(wpe(jnp.asarray(Y), stats_backend='xla', **kw))
+    real = np.asarray(wpe(jnp.asarray(Y), stats_backend='real', **kw))
+    chunked = np.asarray(wpe(jnp.asarray(Y), chunk_size=32, **kw))
+    np.testing.assert_allclose(real, base, rtol=1e-8, atol=1e-10)
+    np.testing.assert_allclose(chunked, base, rtol=1e-6, atol=1e-8)
