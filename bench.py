@@ -72,7 +72,10 @@ def supervise():
     deadline_s = float(os.environ.get('PB_BENCH_DEADLINE_S', 2400))
     ready_timeout_s = float(os.environ.get('PB_BENCH_READY_TIMEOUT_S', 300))
     t_start = time.monotonic()
-    backoffs = iter((5, 15, 30, 60, 90, 120, 120, 120, 120))
+    backoff_spec = os.environ.get('PB_BENCH_BACKOFFS_S',
+                                  '5,15,30,60,90,120')   # test hook
+    backoff_seq = tuple(float(b) for b in backoff_spec.split(','))
+    backoffs = iter(backoff_seq)
     last_error = 'no attempt ran'
     attempt = 0
 
@@ -148,7 +151,7 @@ def supervise():
             print(f'[bench supervisor] {last_error}; backend flake, '
                   'retrying', flush=True)
 
-        pause = next(backoffs, 120)
+        pause = next(backoffs, backoff_seq[-1])
         if time.monotonic() - t_start + pause >= deadline_s:
             break
         time.sleep(pause)

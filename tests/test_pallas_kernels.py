@@ -125,6 +125,9 @@ def test_fused_em_scatter_custom_tile_fallback(rng):
                                atol=1e-5)
 
 
+# slow tier (~12 s): parity guard for a measured-dead-end exemplar kernel,
+# not a production path
+@pytest.mark.slow
 def test_chol_solve_matches_hermitian_solve(rng):
     """In-VMEM blocked Cholesky solve (interpret mode) vs the XLA
     equilibrated solve — same load, same equilibration.  On-chip this

@@ -137,10 +137,10 @@ def test_valid_frame_mask_matches_samples_to_stft_frames():
     import jax
     cases = 0
     for size_exp, k, fading in itertools.product(
-            range(4, 11), (1, 2, 4, 8), (False, True)):
+            (4, 6, 8, 9, 10), (1, 2, 8), (False, True)):
         size = 2 ** size_exp
         shift = size // k
-        samples = np.array(list(range(1, 40)) + [
+        samples = np.array(list(range(1, 29)) + [
             size - 1, size, size + 1, 997, 16000, 200000], np.int32)
         wants = np.array([max(1, samples_to_stft_frames(
             int(s), size, shift, fading=fading, pad=True))

@@ -117,6 +117,9 @@ def test_pallas_stats_backend_matches_xla(rng):
     np.testing.assert_allclose(got / scale, ref / scale, atol=2e-4)
 
 
+# slow tier (~60 s): small-shape cross-backend parity stays fast-lane
+# (test_real_stats_strip_splits_property, test_solve_refine_chunked_and_real_match)
+@pytest.mark.slow
 def test_real_stats_backend_matches_xla(rng):
     """The real-form Hermitian-blocked statistics backend computes the
     same products as the complex einsum path.  In float64 the two agree
@@ -166,6 +169,9 @@ def test_real_stats_backend_matches_xla(rng):
     np.testing.assert_allclose(Xj, Xr, atol=1e-4, rtol=1e-4)
 
 
+# slow tier (~40 s): chunked-vs-unchunked at small shape is covered fast-lane
+# by test_solve_refine_chunked_and_real_match
+@pytest.mark.slow
 def test_real_stats_chunked_matches_unchunked(rng):
     """Chunked real-form statistics: same strip-block sums accumulated
     per chunk (float64: reassociation only)."""
