@@ -30,3 +30,22 @@ def test_dryrun_multichip_fresh_subprocess():
         cwd=REPO, env=env, capture_output=True, text=True, timeout=600)
     assert proc.returncode == 0, proc.stderr[-4000:]
     assert 'DRYRUN_OK' in proc.stdout
+
+
+def test_entry_traces_without_compile():
+    """Fast-lane tripwire for the driver's single-chip gate: entry()
+    must return a jittable fn + example args whose trace (abstract eval
+    only — no compile, so this stays cheap) succeeds and yields a
+    finite-dtype waveform shape."""
+    import jax
+    import numpy as np
+
+    sys.path.insert(0, REPO)
+    try:
+        import __graft_entry__
+    finally:
+        sys.path.remove(REPO)
+    fn, example_args = __graft_entry__.entry()
+    out = jax.eval_shape(fn, *example_args)
+    assert out.dtype == np.float32
+    assert out.shape == (example_args[0].shape[-1],), out.shape
