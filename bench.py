@@ -173,7 +173,15 @@ def bench_session():
     The session is 420 s against the default 180 s device-audio-cache
     window, so the measured pass INCLUDES window refills (~the real
     production upload pattern), not the fully-resident best case
-    (VERDICT r3 weak #4)."""
+    (VERDICT r3 weak #4).  Utterance density matters for that: a real
+    CHiME-5 session has ~0.45 utt/s (S02: ~4.1k utterances / 2.5 h), and
+    the iterator is speaker-grouped, so consecutive same-speaker
+    utterances are ~4x the global gap apart — at 25 utterances/speaker
+    over 420 s (~0.24 utt/s) each 180 s window serves ~8 hits and stays
+    profitable, like production; at the old 7/speaker the schedule was
+    ~7x sparser than reality and the cache's wasteful-refill guard
+    (correctly) fell back to direct uploads, measuring a corpus shape
+    that does not exist in production."""
     import shutil
     import tempfile
     from pathlib import Path
@@ -188,7 +196,7 @@ def bench_session():
     try:
         create_synthetic_chime5(
             work / 'CHiME5', session_ids=('S02',),
-            duration_seconds=420.0, utterances_per_speaker=7,
+            duration_seconds=420.0, utterances_per_speaker=25,
             num_arrays=6, num_array_mics=4, seed=3, pcm16=True)
         dump_json(create_database(work / 'CHiME5'), work / 'chime5.json')
         enhancer = get_enhancer(

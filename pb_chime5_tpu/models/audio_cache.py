@@ -124,6 +124,16 @@ class SessionAudioCache:
 
     # -- public -----------------------------------------------------------
 
+    def new_run(self):
+        """Forget the policy verdict and the resident window.
+
+        A new ``enhance_session`` call is a new schedule (a re-run may
+        use a different slice, order, or shard), so a previous run's
+        wasteful-schedule disable must not leak into it; the next
+        ``lookup`` starts from a clean slate.  Costs nothing when the
+        cache was healthy (the stale window would miss anyway)."""
+        self._key = None
+
     def lookup(self, session_key, per_array):
         """per_array: list of (paths, start, stop, channel_selector) in
         array order.  Returns a :class:`CachedWindow` or None (caller

@@ -346,6 +346,10 @@ class Enhancer:
         prepare = _functools.partial(self._prepare_example,
                                      use_cache=True)
 
+        if self._audio_cache is not None:
+            # a new run is a new schedule: don't inherit a previous
+            # run's wasteful-schedule disable (or its stale window)
+            self._audio_cache.new_run()
         cache_since = self._cache_stats_snapshot()
         if mesh is not None:
             return self._session_loop_mesh(

@@ -173,20 +173,57 @@ def _real_form_stats(U, V, Yr, Yi, inv_power, precision):
     antisymmetric part needs all blocks).  Measured on v5e (headline
     shape, scripts_dev/bench_wpe_stats_form.py): stats 27.8 ->
     ~21 ms/iteration.
+
+    P is folded into the staircase columns rather than computed as
+    standalone (r_i, T) x (T, D) dots: at D = 24 those dots pad 24 ->
+    128 lanes and cost ~3.4x their FLOP share (round-3 shape microbench,
+    scripts_dev/bench_gram_shapes.py); riding the existing dots'
+    padding removes most of that (scripts_dev/bench_p_form.py).
     """
     w = inv_power
     Uw = [u * w[:, None, :].astype(u.dtype) for u in U]
     Vw = [v * w[:, None, :].astype(v.dtype) for v in V]
     n = len(U)
+    D = Yr.shape[-2]
 
     def dot(a, b):
         return jnp.einsum('fit,fjt->fij', a, b, precision=precision)
 
-    # symmetric real part: lower blocks only, mirror the rest
+    # symmetric real part: lower blocks only, mirror the rest.  The
+    # last diagonal block is computed below with P's columns folded in.
     lower = {}
     for i in range(n):
         for j in range(i + 1):
+            if i == j == n - 1:
+                continue
             lower[(i, j)] = dot(Uw[i], U[j]) + dot(Vw[i], V[j])
+
+    # The cross-correlation vector P rides inside the staircase
+    # (measured on v5e, headline shape, scripts_dev/bench_p_form.py:
+    # stats 59.6 -> 53.3 ms/pass; folding BOTH diagonal blocks is
+    # slower, 56.1 ms — the second 168-col operand pads 128 -> 256):
+    # the right operands of the LAST diagonal block's dots are extended
+    # with the observation planes, so strip n-1's P columns ride inside
+    # those dots' lane padding, and each remaining strip's P is one
+    # concatenated [Yr|Yi] dot per side (2*D = 48 cols -> a single
+    # 128-lane dot instead of two).  Every output element keeps the
+    # same contraction over T, so all computed entries are bitwise
+    # identical to the unfolded formulation.
+    m = n - 1
+    r = U[m].shape[-2]
+    eU = dot(Uw[m], jnp.concatenate([U[m], Yr, Yi], axis=-2))
+    eV = dot(Vw[m], jnp.concatenate([V[m], Yi, Yr], axis=-2))
+    lower[(m, m)] = eU[..., :r] + eV[..., :r]
+    Pr = [None] * n
+    Pi = [None] * n
+    Pr[m] = eU[..., r:r + D] + eV[..., r:r + D]
+    Pi[m] = eV[..., r + D:] - eU[..., r + D:]
+    for i in range(n - 1):
+        dU = dot(Uw[i], jnp.concatenate([Yr, Yi], axis=-2))
+        dV = dot(Vw[i], jnp.concatenate([Yi, Yr], axis=-2))
+        Pr[i] = dU[..., :D] + dV[..., :D]
+        Pi[i] = dV[..., D:] - dU[..., D:]
+
     rr = [[lower[(i, j)] if i >= j
            else jnp.swapaxes(lower[(j, i)], -1, -2)
            for j in range(n)] for i in range(n)]
@@ -197,11 +234,9 @@ def _real_form_stats(U, V, Yr, Yi, inv_power, precision):
         [[dot(Vw[i], U[j]) for j in range(n)] for i in range(n)])
     Ri = A - jnp.swapaxes(A, -1, -2)
 
-    Pr = _assemble_blocks(
-        [[dot(Uw[i], Yr) + dot(Vw[i], Yi)] for i in range(n)])
-    Pi = _assemble_blocks(
-        [[dot(Vw[i], Yr) - dot(Uw[i], Yi)] for i in range(n)])
-    return jax.lax.complex(Rr, Ri), jax.lax.complex(Pr, Pi)
+    return (jax.lax.complex(Rr, Ri),
+            jax.lax.complex(jnp.concatenate(Pr, axis=-2),
+                            jnp.concatenate(Pi, axis=-2)))
 
 
 def _real_form_tail(G, U, V, precision):

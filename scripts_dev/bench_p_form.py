@@ -126,3 +126,24 @@ def main():
 
 if __name__ == '__main__':
     main()
+
+@jax.jit
+def stats_folded_both(U0, U1, V0, V1, Yr, Yi, w):
+    """P folded into BOTH strips' diagonal dots: for each strip i the
+    right operand of the (i, i) symmetric dots is [U_i|Yr|Yi] /
+    [V_i|Yi|Yr] — zero standalone P dots."""
+    U, V = [U0, U1], [V0, V1]
+    Uw = [u * w[:, None, :] for u in U]
+    Vw = [v * w[:, None, :] for v in V]
+    acc = 0.0
+    # off-diagonal lower block (1, 0) unchanged
+    acc += jnp.sum(dot(Uw[1], U[0]) + dot(Vw[1], V[0]))
+    # diagonal blocks extended with the P columns
+    for i in range(2):
+        acc += jnp.sum(dot(Uw[i], jnp.concatenate([U[i], Yr, Yi], axis=1)))
+        acc += jnp.sum(dot(Vw[i], jnp.concatenate([V[i], Yi, Yr], axis=1)))
+    # antisymmetric full (unchanged)
+    for i in range(2):
+        for j in range(2):
+            acc += jnp.sum(dot(Vw[i], U[j]))
+    return acc.reshape(1)

@@ -477,6 +477,16 @@ def test_audio_cache_policy(corpus, tmp_path):
     assert c.lookup('S2', spans(0, n)) is not None
     # utterance longer than the window -> direct
     assert c.lookup('S2', spans(0, 5 * fs)) is None
+    # new_run() resets the policy even for the SAME session: a fresh
+    # enhance_session call must not inherit a previous run's
+    # wasteful-schedule disable (enhance_session calls this at entry)
+    c._disabled = True
+    c._key = 'S2'
+    assert c.lookup('S2', spans(0, n)) is None               # still off
+    c.new_run()
+    assert not c._disabled or c._key is None
+    assert c.lookup('S2', spans(0, n)) is not None           # re-enabled
+    assert not c._disabled
 
 
 @pytest.mark.slow
