@@ -28,6 +28,8 @@ Policy per example (:meth:`SessionAudioCache.lookup`):
   scaling path does not cover -> direct upload
 """
 
+import time
+
 import numpy as np
 
 from pb_chime5_tpu.io import audio_length, load_audio
@@ -95,7 +97,8 @@ class SessionAudioCache:
         self._wasteful_refills = 0
         self._hit_samples_since_refill = 0
         self._length_cache = {}
-        self.stats = {'hits': 0, 'refills': 0, 'direct': 0}
+        self.stats = {'hits': 0, 'refills': 0, 'direct': 0,
+                      'refill_mb': 0.0, 'refill_s': 0.0}
 
     # -- helpers ----------------------------------------------------------
 
@@ -111,6 +114,10 @@ class SessionAudioCache:
         return self._length_cache[key]
 
     def _refill(self, per_array, starts):
+        # timed (host read + device_put together): 'refill_s'/'refill_mb'
+        # in the stats line attribute the session's upload cost so a
+        # transfer-bound wall clock is observable, not inferred
+        t0 = time.perf_counter()
         self._bases = [max(0, s - self.margin) for s in starts]
         rows = []
         for (paths, _s, _e, selector), base in zip(per_array, self._bases):
@@ -119,8 +126,16 @@ class SessionAudioCache:
             audio = load_audio(paths, start=base, stop=base + self.window,
                                dtype=None, fill_value=0)
             rows.append(self.coerce(np.atleast_2d(audio)[selector]))
-        self._buf = self.device_put(np.concatenate(rows, axis=0))
+        host = np.concatenate(rows, axis=0)
+        self._buf = self.device_put(host)
+        if hasattr(self._buf, 'block_until_ready'):
+            # device_put is async; block here (on the prefetch thread —
+            # the consumer would block on first use anyway) so refill_s
+            # measures the actual transfer, not the enqueue
+            self._buf.block_until_ready()
         self.stats['refills'] += 1
+        self.stats['refill_mb'] += round(host.nbytes / 1e6, 3)
+        self.stats['refill_s'] += round(time.perf_counter() - t0, 4)
 
     # -- public -----------------------------------------------------------
 
