@@ -161,6 +161,19 @@ def start_end_context_frames(ex, stft_size, stft_shift, stft_fading):
     )
 
 
+def _example_start_key(ex):
+    """Session-timeline position of an example, for cache-friendly
+    time-ordered dispatch (earliest array start; arrays drift by less
+    than the cache margin, so any of them orders the timeline)."""
+    start = ex['start']
+    if isinstance(start, dict):
+        obs = start.get('observation')
+        if isinstance(obs, dict) and obs:
+            return min(obs.values())
+        return start.get('original', 0)
+    return start
+
+
 @dataclasses.dataclass
 class Enhancer:
     """Session-level driver (reference core.py:281-571)."""
@@ -325,6 +338,19 @@ class Enhancer:
         # worker therefore leaves only stale (reclaimable) claims behind.
         shard = shard_fn(examples, length_fn)
         mark_complete = getattr(shard, 'mark_complete', None)
+
+        if self._audio_cache is not None and isinstance(shard, (list,
+                                                                tuple)):
+            # Time-ordered dispatch: the session iterator is
+            # speaker-grouped (example ids sort as P05_*, P06_*, ...),
+            # so a K-speaker session traverses the timeline K times and
+            # the rolling device window refills K times over (measured
+            # on the 4-speaker 420 s bench session: 12 refills /
+            # 1.66 GB speaker-grouped vs 3 refills / 0.41 GB sorted —
+            # ~5.1x vs the designed ~1.3x session bytes).  Outputs are
+            # independent per-utterance files, so dispatch order is
+            # free; dynamic schedulers (claim-on-pull) are left alone.
+            shard = sorted(shard, key=_example_start_key)
 
         def todo_gen():
             # Consume the shard LAZILY (dynamic schedulers claim on pull —
