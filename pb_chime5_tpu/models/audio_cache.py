@@ -26,9 +26,26 @@ Policy per example (:meth:`SessionAudioCache.lookup`):
   upload — the cache can never lose more than ~two window uploads
 * utterance longer than the window, or a compute dtype the in-graph
   scaling path does not cover -> direct upload
+
+Window PREFETCH (round 4): with session-time-ordered dispatch the next
+window's base is predictable, so once a hit lands within
+``prefetch_lead_seconds`` of the window's end a background thread
+starts uploading the next window while hits from the current one keep
+dispatching.  On the miss the pending window is adopted if it covers
+the requested spans (same file content at a shifted base — outputs stay
+bit-identical), otherwise it is discarded and the ordinary synchronous
+refill runs; two discarded prefetches stop prefetching for the session.
+Measured on the 420 s bench session (interleaved A/B,
+scripts_dev/bench_prefetch_ab.py): blocked refill time 21.7 -> 4.6 s.
+End-to-end it is a wash through the dev tunnel — that link is
+bandwidth-saturated, so the background upload steals what it hides —
+but walls are far stabler, and on production hardware the overlapped
+host reads/DMA don't contend with a shared ~20 MB/s link (ledger entry
+in docs/ARCHITECTURE.md).
 """
 
 import time
+from concurrent.futures import ThreadPoolExecutor
 
 import numpy as np
 
@@ -76,11 +93,20 @@ class SessionAudioCache:
       bucket_length: the pipeline's bucket function (the containment
         check must use the PADDED slice length).
       sample_rate: only used to convert the second-based sizes.
+      prefetch: speculative background upload of the predicted next
+        window (module docstring "Window PREFETCH").  Content-neutral:
+        an adopted window is the same file samples at a shifted base.
+      prefetch_lead_seconds: start the background upload once a hit
+        reaches this close to the window end (clamped to a third of the
+        window).  Sized so upload time (~window_bytes / link bandwidth)
+        fits inside the compute for the remaining hits; the default
+        covers the dev tunnel's ~19 MB/s worst case.
     """
 
     def __init__(self, *, window_seconds=180.0, margin_seconds=1.0,
                  sample_rate=16000, coerce=None, bucket_length=None,
-                 device_put=None):
+                 device_put=None, prefetch=True,
+                 prefetch_lead_seconds=90.0):
         self.window = int(window_seconds * sample_rate)
         self.margin = int(margin_seconds * sample_rate)
         self.coerce = coerce if coerce is not None else (lambda a: a)
@@ -90,6 +116,8 @@ class SessionAudioCache:
             import jax
             device_put = jax.device_put
         self.device_put = device_put
+        self.prefetch = prefetch
+        self.prefetch_lead = int(prefetch_lead_seconds * sample_rate)
         self._key = None
         self._bases = None
         self._buf = None
@@ -97,8 +125,15 @@ class SessionAudioCache:
         self._wasteful_refills = 0
         self._hit_samples_since_refill = 0
         self._length_cache = {}
+        self._executor = None
+        self._pending = None          # dict(bases, spec, future) or None
+        self._armed = True            # one prefetch per resident window
+        self._prefetch_dead = 0       # discarded prefetches this session
+        self._max_npad = 0
         self.stats = {'hits': 0, 'refills': 0, 'direct': 0,
-                      'refill_mb': 0.0, 'refill_s': 0.0}
+                      'refill_mb': 0.0, 'refill_s': 0.0,
+                      'prefetch_hits': 0, 'prefetch_wasted': 0,
+                      'prefetch_s': 0.0}
 
     # -- helpers ----------------------------------------------------------
 
@@ -113,29 +148,120 @@ class SessionAudioCache:
                 self._length_cache[key] = audio_length(paths)
         return self._length_cache[key]
 
-    def _refill(self, per_array, starts):
-        # timed (host read + device_put together): 'refill_s'/'refill_mb'
-        # in the stats line attribute the session's upload cost so a
-        # transfer-bound wall clock is observable, not inferred
+    def _load_window(self, per_array, bases):
+        """Host read + device_put of one (A*C, window) window at the
+        given per-array bases; returns (buf, nbytes, seconds).  Runs on
+        the caller's thread for synchronous refills and on the prefetch
+        worker for speculative ones."""
         t0 = time.perf_counter()
-        self._bases = [max(0, s - self.margin) for s in starts]
         rows = []
-        for (paths, _s, _e, selector), base in zip(per_array, self._bases):
+        for (paths, _s, _e, selector), base in zip(per_array, bases):
             # fill_value=0 pads session-tail short reads to exactly
             # `window` samples, so every row is (C, window)
             audio = load_audio(paths, start=base, stop=base + self.window,
                                dtype=None, fill_value=0)
             rows.append(self.coerce(np.atleast_2d(audio)[selector]))
         host = np.concatenate(rows, axis=0)
-        self._buf = self.device_put(host)
-        if hasattr(self._buf, 'block_until_ready'):
-            # device_put is async; block here (on the prefetch thread —
-            # the consumer would block on first use anyway) so refill_s
-            # measures the actual transfer, not the enqueue
-            self._buf.block_until_ready()
+        buf = self.device_put(host)
+        if hasattr(buf, 'block_until_ready'):
+            # device_put is async; block here so the measured time is
+            # the actual transfer, not the enqueue
+            buf.block_until_ready()
+        return buf, host.nbytes, time.perf_counter() - t0
+
+    def _refill(self, per_array, starts):
+        # timed (host read + device_put together): 'refill_s'/'refill_mb'
+        # in the stats line attribute the session's upload cost so a
+        # transfer-bound wall clock is observable, not inferred
+        self._bases = [max(0, s - self.margin) for s in starts]
+        self._buf, nbytes, dt = self._load_window(per_array, self._bases)
         self.stats['refills'] += 1
-        self.stats['refill_mb'] += round(host.nbytes / 1e6, 3)
-        self.stats['refill_s'] += round(time.perf_counter() - t0, 4)
+        self.stats['refill_mb'] += round(nbytes / 1e6, 3)
+        self.stats['refill_s'] += round(dt, 4)
+
+    # -- speculative next-window prefetch ----------------------------------
+
+    @staticmethod
+    def _spec_key(per_array):
+        """Hashable identity of the window's row content apart from the
+        base offsets: per-array file paths + channel selector.  A pending
+        window may only be adopted for spans with the same key."""
+        def norm(sel):
+            if isinstance(sel, slice):
+                return ('slice', sel.start, sel.stop, sel.step)
+            if isinstance(sel, (list, tuple)):
+                return ('idx',) + tuple(sel)
+            return ('idx', sel)
+        return tuple(
+            (tuple(p) if isinstance(p, (list, tuple)) else p, norm(sel))
+            for (p, _s, _e, sel) in per_array)
+
+    def _maybe_prefetch(self, per_array, starts, n_pad):
+        """Called on a hit: when the utterance's far edge is within
+        ``prefetch_lead`` of the window end, start uploading the next
+        window in the background.  The next base is the current one
+        advanced by (window - max_npad - 2*margin): for a session-time-
+        ordered schedule the first missing utterance then provably lands
+        inside the pending window (s > base + window - N_pad implies
+        margin-sized slack on both ends)."""
+        if (not self.prefetch or self._pending is not None
+                or not self._armed or self._prefetch_dead >= 2):
+            return
+        # effective lead never exceeds a third of the window, so tiny
+        # (test-sized) windows don't prefetch on their very first hit
+        lead = min(self.prefetch_lead, self.window // 3)
+        reach = max(s - b for s, b in zip(starts, self._bases)) + n_pad
+        if reach <= self.window - lead:
+            return
+        advance = self.window - self._max_npad - 2 * self.margin
+        if advance <= self.window // 4:   # degenerate window/utterance mix
+            return
+        bases = [b + advance for b in self._bases]
+        if self._executor is None:
+            self._executor = ThreadPoolExecutor(
+                max_workers=1, thread_name_prefix='audio-cache-prefetch')
+        self._armed = False
+        self._pending = {
+            'bases': bases,
+            'spec': self._spec_key(per_array),
+            'future': self._executor.submit(
+                self._load_window, list(per_array), bases),
+        }
+
+    def _try_adopt_pending(self, per_array, starts, n_pad):
+        """On a miss: adopt the pending speculative window if it covers
+        the requested spans (True), else discard it (False either way
+        when absent/failed).  Only the blocking wait counts toward
+        ``refill_s`` — the overlapped part of the upload is reported as
+        ``prefetch_s``."""
+        pending, self._pending = self._pending, None
+        if pending is None:
+            return False
+        t0 = time.perf_counter()
+        try:
+            buf, nbytes, dt = pending['future'].result()
+        except Exception:
+            self._prefetch_dead += 1
+            return False
+        waited = time.perf_counter() - t0
+        covers = (
+            pending['spec'] == self._spec_key(per_array)
+            and all(s >= b and s - b + n_pad <= self.window
+                    for s, b in zip(starts, pending['bases'])))
+        if not covers:
+            self._prefetch_dead += 1
+            self.stats['prefetch_wasted'] += 1
+            self.stats['refill_mb'] += round(nbytes / 1e6, 3)
+            return False
+        self._prefetch_dead = 0
+        self._bases = pending['bases']
+        self._buf = buf
+        self.stats['refills'] += 1
+        self.stats['prefetch_hits'] += 1
+        self.stats['refill_mb'] += round(nbytes / 1e6, 3)
+        self.stats['refill_s'] += round(waited, 4)
+        self.stats['prefetch_s'] += round(dt, 4)
+        return True
 
     # -- public -----------------------------------------------------------
 
@@ -148,6 +274,7 @@ class SessionAudioCache:
         ``lookup`` starts from a clean slate.  Costs nothing when the
         cache was healthy (the stale window would miss anyway)."""
         self._key = None
+        self._pending = None
 
     def lookup(self, session_key, per_array):
         """per_array: list of (paths, start, stop, channel_selector) in
@@ -160,6 +287,10 @@ class SessionAudioCache:
             self._disabled = False
             self._wasteful_refills = 0
             self._hit_samples_since_refill = 0
+            self._pending = None
+            self._armed = True
+            self._prefetch_dead = 0
+            self._max_npad = 0
         if self._disabled:
             self.stats['direct'] += 1
             return None
@@ -177,12 +308,14 @@ class SessionAudioCache:
             self.stats['direct'] += 1
             return None                      # utterance too long to cache
 
+        self._max_npad = max(self._max_npad, N_pad)
         hit = self._bases is not None and all(
             s >= b and s - b + N_pad <= self.window
             for s, b in zip(starts, self._bases))
         if hit:
             self._hit_samples_since_refill += N_pad
             self.stats['hits'] += 1
+            self._maybe_prefetch(per_array, starts, N_pad)
         else:
             # was the previous window worth its upload?  A refill pays
             # ~window samples per row; the hits it served saved ~N_pad
@@ -197,10 +330,13 @@ class SessionAudioCache:
                     # fewer bytes — give up for this session
                     self._disabled = True
                     self._buf = None
+                    self._pending = None     # free the speculative window
                     self.stats['direct'] += 1
                     return None
             self._hit_samples_since_refill = 0
-            self._refill(per_array, starts)
+            if not self._try_adopt_pending(per_array, starts, N_pad):
+                self._refill(per_array, starts)
+            self._armed = True        # new window: one prefetch allowed
         offsets = np.asarray(
             [s - b for s, b in zip(starts, self._bases)], np.int32)
         return CachedWindow(self._buf, offsets, N)

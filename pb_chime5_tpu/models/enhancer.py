@@ -195,6 +195,11 @@ class Enhancer:
     # the window across the mesh and ships (B, A) offsets.
     device_audio_cache: bool = True
     cache_window_seconds: float = 180.0
+    # background upload of the predicted NEXT window while the current
+    # one still serves hits (audio_cache.py "Window PREFETCH") — hides
+    # the refill transfer behind device compute on time-ordered
+    # schedules; bit-identical outputs, self-disabling on misprediction
+    cache_prefetch: bool = True
 
     def __post_init__(self):
         self._pipeline = GssPipeline(
@@ -212,7 +217,8 @@ class Enhancer:
             self._audio_cache = SessionAudioCache(
                 window_seconds=self.cache_window_seconds,
                 coerce=coerce,
-                bucket_length=self._pipeline.bucket_length)
+                bucket_length=self._pipeline.bucket_length,
+                prefetch=self.cache_prefetch)
 
     @property
     def db(self):
@@ -839,6 +845,7 @@ def get_enhancer(
     compile_mode='fused',
     device_audio_cache=True,
     cache_window_seconds=180.0,
+    cache_prefetch=True,
 ):
     """Factory with the reference's exact keyword surface
     (pb_chime5/core.py:574-637; the sacred CLI auto-derives its config
@@ -882,4 +889,5 @@ def get_enhancer(
         compute_dtype=compute_dtype,
         device_audio_cache=device_audio_cache,
         cache_window_seconds=cache_window_seconds,
+        cache_prefetch=cache_prefetch,
     )

@@ -530,6 +530,63 @@ def test_audio_cache_policy(corpus, tmp_path):
     assert not c._disabled
 
 
+def test_audio_cache_prefetch(corpus, tmp_path):
+    """Window prefetch: on a session-time-ordered schedule the refill
+    after the first window is served by the speculative background
+    upload (adopted window = same file content at a shifted base, so
+    returned slices stay exact), and mispredictions self-disable after
+    two discarded prefetches."""
+    from pb_chime5_tpu.models.audio_cache import SessionAudioCache
+    from pb_chime5_tpu.io import dump_audio
+    fs = 16000
+    wav = tmp_path / 'long.wav'
+    rng = np.random.default_rng(1)
+    dump_audio(rng.standard_normal(fs * 40) * 0.1, wav)
+
+    def spans(start, n):
+        return [((str(wav),), start, start + n, slice(None))]
+
+    c = SessionAudioCache(window_seconds=4.0, margin_seconds=0.1,
+                          sample_rate=fs, device_put=lambda a: a,
+                          prefetch=True, prefetch_lead_seconds=2.0)
+    n = fs  # 1 s observation windows starting every 0.4 s — overlapping
+    #        like production (42 s windows starting every ~4 s)
+    step = int(0.4 * fs)
+    for i in range(24):
+        r = c.lookup('S', spans(i * step, n))
+        assert r is not None, (i, c.stats)
+        # every returned slice is exact regardless of which path
+        # (initial fill / sync refill / adopted prefetch) produced it
+        direct = load_audio(wav, start=i * step, stop=i * step + n,
+                            dtype=None)
+        got = np.asarray(r.buf)[0, r.offsets[0]:r.offsets[0] + n]
+        np.testing.assert_array_equal(got, direct, err_msg=str(i))
+    s = c.stats
+    assert s['refills'] >= 2, s
+    assert s['prefetch_hits'] >= 1, s        # a refill was pre-uploaded
+    assert s['prefetch_wasted'] == 0, s
+    # refill_mb counts ALL windows moved (sync + adopted): bytes honest
+    assert s['refill_mb'] >= s['refills'] * 4 * fs * 2 / 1e6 * 0.99
+
+    # misprediction: jumps larger than the window discard the pending
+    # prefetch; two discards stop prefetching for the session (the
+    # ordinary synchronous refills keep serving)
+    c2 = SessionAudioCache(window_seconds=4.0, margin_seconds=0.1,
+                           sample_rate=fs, device_put=lambda a: a,
+                           prefetch=True, prefetch_lead_seconds=2.0)
+    pos = 0
+    for _ in range(3):
+        for i in range(6):                    # hits arm the prefetch
+            assert c2.lookup('S', spans(pos + i * step, n)) is not None
+        pos += 12 * fs                        # jump far past the window
+        assert c2.lookup('S', spans(pos, n)) is not None
+        pos += step
+    assert c2.stats['prefetch_wasted'] == 2, c2.stats
+    assert c2._prefetch_dead == 2
+    # once dead, hits no longer schedule speculative uploads
+    assert c2._pending is None
+
+
 @pytest.mark.slow
 def test_device_audio_cache_fast_start(corpus, tmp_path):
     """fast_start + cache: the split cached front keeps fast_start's
