@@ -185,6 +185,7 @@ def get_enhancer(
     compute_dtype=np.float32,
     device_audio_cache=True,
     cache_window_seconds=180.0,
+    cache_prefetch=True,
 ):
     """Factory mirroring pb_chime5/core_chime6.py:571-634."""
     assert wpe is True or wpe is False, wpe
@@ -218,4 +219,5 @@ def get_enhancer(
         compute_dtype=compute_dtype,
         device_audio_cache=device_audio_cache,
         cache_window_seconds=cache_window_seconds,
+        cache_prefetch=cache_prefetch,
     )
