@@ -258,8 +258,9 @@ def worker():
     # compile on the remote TPU compile service; cache across runs
     try:
         from pathlib import Path
-        cache_dir = Path(__file__).parent / '.jax_cache'
-        cache_dir.mkdir(exist_ok=True)
+        from pb_chime5_tpu.models.gss import machine_cache_scope
+        cache_dir = Path(__file__).parent / '.jax_cache' / machine_cache_scope()
+        cache_dir.mkdir(parents=True, exist_ok=True)
         jax.config.update('jax_compilation_cache_dir', str(cache_dir))
         jax.config.update('jax_persistent_cache_min_compile_time_secs', 10)
     except Exception:

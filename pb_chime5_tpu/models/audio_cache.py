@@ -35,6 +35,16 @@ dispatching.  On the miss the pending window is adopted if it covers
 the requested spans (same file content at a shifted base — outputs stay
 bit-identical), otherwise it is discarded and the ordinary synchronous
 refill runs; two discarded prefetches stop prefetching for the session.
+Worst-case waste: the wasteful-refill policy bounds ordinary refills at
+~two window uploads, PLUS up to two discarded speculative windows
+before prefetch self-disables, plus at most one in-flight prefetch
+dropped by a session change / ``new_run`` / cache disable.  Every
+discarded upload — including the in-flight ones — is charged to
+``refill_mb``/``prefetch_wasted`` (:meth:`_discard_pending`), so the
+stats line stays byte-honest on all paths.  While a prefetch is
+pending, the current AND next windows are both device-resident: peak
+device memory for the cache is 2x the window (~0.3-0.6 GB at the 180 s
+default, scaling with window_seconds x total channel count).
 Measured on the 420 s bench session (interleaved A/B,
 scripts_dev/bench_prefetch_ab.py): blocked refill time 21.7 -> 4.6 s.
 End-to-end it is a wash through the dev tunnel — that link is
@@ -44,7 +54,9 @@ host reads/DMA don't contend with a shared ~20 MB/s link (ledger entry
 in docs/ARCHITECTURE.md).
 """
 
+import threading
 import time
+import weakref
 from concurrent.futures import ThreadPoolExecutor
 
 import numpy as np
@@ -83,7 +95,9 @@ class SessionAudioCache:
       window_seconds: resident window length W.  Amortized upload for a
         long session is ``session_bytes * W / (W - max_utterance)``;
         180 s against <= 42 s windows is a ~1.3x overhead on the session
-        bytes vs ~4x for per-utterance upload.
+        bytes vs ~4x for per-utterance upload.  NOTE: with ``prefetch``
+        on, peak device memory is 2x this window while a speculative
+        upload is pending (see the module docstring).
       margin_seconds: window starts this much before the first requested
         span, so small backward wobbles (equal_start_context, clock
         drift) stay inside the window.
@@ -126,6 +140,10 @@ class SessionAudioCache:
         self._hit_samples_since_refill = 0
         self._length_cache = {}
         self._executor = None
+        self._finalizer = None
+        # done-callbacks of discarded in-flight prefetches mutate stats
+        # from the worker thread; serialize those against the owner
+        self._stats_lock = threading.Lock()
         self._pending = None          # dict(bases, spec, future) or None
         self._armed = True            # one prefetch per resident window
         self._prefetch_dead = 0       # discarded prefetches this session
@@ -220,6 +238,10 @@ class SessionAudioCache:
         if self._executor is None:
             self._executor = ThreadPoolExecutor(
                 max_workers=1, thread_name_prefix='audio-cache-prefetch')
+            # must not capture `self` (the finalizer would keep the
+            # cache alive forever); binding the executor is the point
+            self._finalizer = weakref.finalize(
+                self, self._executor.shutdown, wait=False)
         self._armed = False
         self._pending = {
             'bases': bases,
@@ -227,6 +249,32 @@ class SessionAudioCache:
             'future': self._executor.submit(
                 self._load_window, list(per_array), bases),
         }
+
+    def _discard_pending(self):
+        """Drop the speculative window (if any) with honest accounting
+        on EVERY discard path (session change, :meth:`new_run`, cache
+        disable, :meth:`close`): a future that can still be cancelled
+        moved no bytes; a running or finished upload is charged to
+        ``refill_mb`` + ``prefetch_wasted`` exactly like the
+        covers-False discard in :meth:`_try_adopt_pending`."""
+        pending, self._pending = self._pending, None
+        if pending is None:
+            return
+        future = pending['future']
+        if future.cancel():
+            return                    # never started: no bytes moved
+
+        def _account(fut):
+            with self._stats_lock:
+                self.stats['prefetch_wasted'] += 1
+                try:
+                    _buf, nbytes, dt = fut.result()
+                except Exception:
+                    return            # failed upload moved ~nothing
+                self.stats['refill_mb'] += round(nbytes / 1e6, 3)
+                self.stats['prefetch_s'] += round(dt, 4)
+
+        future.add_done_callback(_account)
 
     def _try_adopt_pending(self, per_array, starts, n_pad):
         """On a miss: adopt the pending speculative window if it covers
@@ -242,6 +290,7 @@ class SessionAudioCache:
             buf, nbytes, dt = pending['future'].result()
         except Exception:
             self._prefetch_dead += 1
+            self.stats['prefetch_wasted'] += 1
             return False
         waited = time.perf_counter() - t0
         covers = (
@@ -274,7 +323,20 @@ class SessionAudioCache:
         ``lookup`` starts from a clean slate.  Costs nothing when the
         cache was healthy (the stale window would miss anyway)."""
         self._key = None
-        self._pending = None
+        self._discard_pending()
+
+    def close(self):
+        """Shut down the prefetch worker thread (idempotent).  Without
+        this, every cache that ever prefetched keeps one idle worker
+        thread for the process lifetime; a finalizer covers callers that
+        drop the cache without closing."""
+        self._discard_pending()
+        executor, self._executor = self._executor, None
+        if executor is not None:
+            executor.shutdown(wait=False)
+        if self._finalizer is not None:
+            self._finalizer.detach()
+            self._finalizer = None
 
     def lookup(self, session_key, per_array):
         """per_array: list of (paths, start, stop, channel_selector) in
@@ -287,7 +349,7 @@ class SessionAudioCache:
             self._disabled = False
             self._wasteful_refills = 0
             self._hit_samples_since_refill = 0
-            self._pending = None
+            self._discard_pending()
             self._armed = True
             self._prefetch_dead = 0
             self._max_npad = 0
@@ -330,7 +392,7 @@ class SessionAudioCache:
                     # fewer bytes — give up for this session
                     self._disabled = True
                     self._buf = None
-                    self._pending = None     # free the speculative window
+                    self._discard_pending()  # free + account it
                     self.stats['direct'] += 1
                     return None
             self._hit_samples_since_refill = 0

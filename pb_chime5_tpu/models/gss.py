@@ -526,19 +526,52 @@ def gss_enhance_cached_split(
                      num_output_samples=num_output_samples)
 
 
+def machine_cache_scope() -> str:
+    """Subdirectory name scoping the persistent compile cache to this
+    machine's platform + CPU feature set.
+
+    JAX's persistent cache key does NOT include the host CPU's feature
+    flags, but XLA:CPU AOT results are compiled FOR a concrete machine
+    (``cpu_aot_loader.cc`` warns "could lead to execution errors such as
+    SIGILL" on a feature mismatch).  Sharing one cache dir across
+    machines — exactly what a repo-relative ``.jax_cache`` checked out on
+    different hosts does — therefore risks loading incompatible AOT code
+    on the CPU backend (observed: MULTICHIP_r04 tail).  Scope the dir by
+    a hash of (machine arch, /proc/cpuinfo flags) so every distinct host
+    CPU gets its own namespace; TPU backends get their own scope too
+    (cheap, and keeps CPU/TPU entries from sharing directory metadata).
+    """
+    import hashlib
+    import platform as _platform
+    flags = ''
+    try:
+        with open('/proc/cpuinfo') as f:
+            for line in f:
+                if line.startswith(('flags', 'Features')):
+                    flags = ' '.join(sorted(line.split(':', 1)[1].split()))
+                    break
+    except OSError:
+        pass
+    digest = hashlib.sha1(
+        f'{_platform.machine()}|{flags}'.encode()).hexdigest()[:12]
+    return f'machine-{digest}'
+
+
 def enable_persistent_compilation_cache():
     """Idempotent: the fused program takes minutes to compile through the
     remote TPU compile service; cache compilations on disk
-    (PB_JAX_CACHE_DIR env var or <repo>/.jax_cache)."""
+    (PB_JAX_CACHE_DIR env var or <repo>/.jax_cache), scoped per machine
+    (:func:`machine_cache_scope`) so CPU AOT entries never cross hosts."""
     import os
     if getattr(enable_persistent_compilation_cache, '_done', False):
         return
     enable_persistent_compilation_cache._done = True
     try:
         from pathlib import Path
-        cache_dir = os.environ.get(
+        base = os.environ.get(
             'PB_JAX_CACHE_DIR',
             str(Path(__file__).resolve().parents[2] / '.jax_cache'))
+        cache_dir = str(Path(base) / machine_cache_scope())
         Path(cache_dir).mkdir(parents=True, exist_ok=True)
         jax.config.update('jax_compilation_cache_dir', cache_dir)
         jax.config.update('jax_persistent_cache_min_compile_time_secs', 10)

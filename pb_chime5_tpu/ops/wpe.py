@@ -207,8 +207,15 @@ def _real_form_stats(U, V, Yr, Yi, inv_power, precision):
     # those dots' lane padding, and each remaining strip's P is one
     # concatenated [Yr|Yi] dot per side (2*D = 48 cols -> a single
     # 128-lane dot instead of two).  Every output element keeps the
-    # same contraction over T, so all computed entries are bitwise
-    # identical to the unfolded formulation.
+    # same MATHEMATICAL contraction over T, but NOT the same floating-
+    # point result: the wider right operand changes the backend's
+    # reduction blocking, so the accumulation order differs from the
+    # standalone dots (measured: 1.4e-2 absolute on O(1)-scale WPE
+    # output after 3 iterations at D=24 — rounding amplified through
+    # the ill-conditioned solve; round-5 root cause of the
+    # realistic-scene pin break.  The 8-seed quality distribution is
+    # unchanged — median +20.0 dB with the fold vs +18.9 without — see
+    # tests/test_realistic_scene.py).
     m = n - 1
     r = U[m].shape[-2]
     eU = dot(Uw[m], jnp.concatenate([U[m], Yr, Yi], axis=-2))

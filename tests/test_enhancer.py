@@ -587,6 +587,48 @@ def test_audio_cache_prefetch(corpus, tmp_path):
     assert c2._pending is None
 
 
+def test_audio_cache_discard_accounting_and_close(corpus, tmp_path):
+    """An in-flight prefetch dropped on new_run()/session change/close
+    must stay byte-honest: the upload is charged to refill_mb +
+    prefetch_wasted once it lands (advisor r4), and close() shuts the
+    worker thread down."""
+    from pb_chime5_tpu.models.audio_cache import SessionAudioCache
+    from pb_chime5_tpu.io import dump_audio
+    fs = 16000
+    wav = tmp_path / 'long2.wav'
+    dump_audio(np.random.default_rng(2).standard_normal(fs * 40) * 0.1,
+               wav)
+
+    def spans(start, n):
+        return [((str(wav),), start, start + n, slice(None))]
+
+    c = SessionAudioCache(window_seconds=4.0, margin_seconds=0.1,
+                          sample_rate=fs, device_put=lambda a: a,
+                          prefetch=True, prefetch_lead_seconds=2.0)
+    n, step = fs, int(0.4 * fs)
+    for i in range(6):                          # arm + start a prefetch
+        assert c.lookup('S', spans(i * step, n)) is not None
+    assert c._pending is not None
+    mb_before = c.stats['refill_mb']
+    c.new_run()                                 # drops the pending window
+    assert c._pending is None
+    # the accounting lands via the future's done-callback; wait for the
+    # single worker thread to drain (cancel() may also have won — then
+    # no bytes moved and nothing is charged, which is equally honest)
+    c._executor.shutdown(wait=True)
+    window_mb = 4 * fs * 2 / 1e6           # PCM16 rows, like the sibling
+    #                                        prefetch test's bound
+    if c.stats['prefetch_wasted']:
+        assert c.stats['refill_mb'] >= mb_before + 0.9 * window_mb, c.stats
+    else:
+        assert c.stats['refill_mb'] == mb_before, c.stats
+
+    # close() is idempotent and detaches the finalizer
+    c.close()
+    c.close()
+    assert c._executor is None and c._finalizer is None
+
+
 @pytest.mark.slow
 def test_device_audio_cache_fast_start(corpus, tmp_path):
     """fast_start + cache: the split cached front keeps fast_start's

@@ -32,26 +32,13 @@ def _sir_db(x, only_target, only_interf):
     return 10.0 * np.log10(e_t / max(e_i, 1e-30))
 
 
-def test_full_chain_on_reverberant_harmonic_scene(rng):
-    """WPE + cacGMM + MVDR-Souden(+BAN) on a reverberant 2-talker
-    harmonic scene, with and without the reference's mask_mul
-    postfilter (core.py:268-273).
-
-    What is pinnable here is bounded by physics, not estimation: the
-    talkers sit at/beyond the critical distance (~0.85 m for this room/
-    RT60), so even ORACLE masks (from the ground-truth source images)
-    through the same MVDR reach only ~+13 dB SIR — the interferer's
-    energy is mostly diffuse reverb a spatial filter cannot null
-    (measured: scripts_dev/diag_realistic_scene.py; oracle mask_mul
-    reaches +46 dB because masking is not spatially limited).  Pins:
-
-      * the f32 chain stays finite on harmonic + reverberant +
-        correlated-noise input (the round-3 NaN class appeared only on
-        realistic scenes) — the test's primary job,
-      * beamformer-only improves SIR (> 1.5 dB tripwire; measured
-        +2.6 dB here, +5.5 dB on the diag seed),
-      * mask_mul improves > 10 dB (measured ~+15 dB across seeds).
-    """
+def _chain_improvements(seed):
+    """SIR improvement of the full chain (WPE + cacGMM + MVDR-Souden
+    (+BAN)) over raw ch0 on the scene drawn from ``seed``, for
+    postfilter in (None, 'mask_mul').  Finiteness / non-silence pinned
+    per run (the round-3 f32 fusion-NaN class appeared only on
+    realistic scenes — the primary job of this file)."""
+    rng = np.random.default_rng(seed)
     scene = make_reverberant_scene(
         rng, num_speakers=2, duration=8.0, rt60=0.45, noise_snr_db=20.0)
     obs = scene['obs'].astype(np.float32)
@@ -78,17 +65,57 @@ def test_full_chain_on_reverberant_harmonic_scene(rng):
         x_hat, _ = gss_enhance(jnp.asarray(obs), jnp.asarray(act_f),
                                jnp.int32(0), config=config)
         x_hat = np.asarray(x_hat)
-        # the whole point of the realistic scene: the f32 chain must
-        # stay finite on harmonic + reverberant + correlated-noise input
-        assert np.isfinite(x_hat).all(), postfilter
-        assert np.abs(x_hat).max() > 0, postfilter
+        assert np.isfinite(x_hat).all(), (seed, postfilter)
+        assert np.abs(x_hat).max() > 0, (seed, postfilter)
         improvements[postfilter] = _sir_db(x_hat, only0, only1) - sir_raw
+    return improvements
 
-    print(f'\nrealistic scene: SIR raw {sir_raw:.1f} dB, improvement '
-          f'bf-only {improvements[None]:.1f} dB, '
-          f'mask_mul {improvements["mask_mul"]:.1f} dB')
-    assert improvements[None] > 1.5, improvements
-    assert improvements['mask_mul'] > 10.0, improvements
+
+def test_full_chain_on_reverberant_harmonic_scene():
+    """Full-chain quality gate, pinned as a MEDIAN over three scene
+    seeds — single-seed absolute pins are not robust here, for two
+    measured reasons (round-5 root cause of the round-4 red gate):
+
+    1. The per-frequency cacGMM EM is trajectory-chaotic on an 8 s
+       scene: a rounding-level change of its input (the round-4 WPE
+       P-fold changed dot accumulation order only — ops/wpe.py
+       ``_real_form_stats``) moved single seeds by -7/+5 dB while the
+       8-seed MEDIAN moved < 1.2 dB.  Measured mask_mul improvement
+       distribution over seeds 0-7 on this machine (CPU, x64 scope):
+
+           with P-fold (HEAD):  7.4 23.0 19.5 20.5 -1.8 19.2 25.2 32.0
+           pre-fold (dffc294): 14.5 18.0 23.0 19.8 -6.9 17.9 22.2 29.4
+           medians: +20.0 / +18.9 dB
+
+    2. Talker angles are drawn uniform(0, 2pi), so some seeds are
+       spatially DEGENERATE: on seed 4 even ORACLE masks through the
+       same MVDR gain only +3.8 dB (talkers at nearly the same bearing)
+       while oracle mask_mul reaches +44 dB — GSS, a spatial method,
+       legitimately fails there, exactly as the reference would
+       (/root/reference/pb_chime5/core.py:514-571 runs the same
+       cacGMM).  A median over seeds tolerates such draws; a min or a
+       single seed cannot.
+
+    Pins (median over seeds 0, 1, 2 — seeds 1 and 2 are stable at
+    +18..23 dB under BOTH dot formulations, so the median holds even if
+    the bimodal seed 0 collapses entirely):
+
+      * every run finite and non-silent (per-seed, the primary job),
+      * median bf-only improvement > 1.5 dB
+        (measured: +7.6 / +6.8 dB fold / pre-fold),
+      * median mask_mul improvement > 10 dB
+        (measured: +19.5 / +18.0 dB fold / pre-fold).
+    """
+    per_seed = {seed: _chain_improvements(seed) for seed in (0, 1, 2)}
+    med_bf = float(np.median([d[None] for d in per_seed.values()]))
+    med_mm = float(np.median([d['mask_mul'] for d in per_seed.values()]))
+    print(f'\nrealistic scenes {sorted(per_seed)}: '
+          f'bf-only {[round(d[None], 1) for d in per_seed.values()]} '
+          f'(median {med_bf:.1f} dB), '
+          f'mask_mul {[round(d["mask_mul"], 1) for d in per_seed.values()]} '
+          f'(median {med_mm:.1f} dB)')
+    assert med_bf > 1.5, per_seed
+    assert med_mm > 10.0, per_seed
 
 
 def test_rooms_physics_sanity(rng):
