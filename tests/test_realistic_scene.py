@@ -18,6 +18,7 @@ import pytest
 import jax.numpy as jnp
 
 from pb_chime5_tpu.models.gss import GssConfig, gss_enhance
+from pb_chime5_tpu.testing.metrics import stoi
 from pb_chime5_tpu.testing.rooms import make_reverberant_scene
 from pb_chime5_tpu.utils import activity_time_to_frequency
 
@@ -33,29 +34,46 @@ def _sir_db(x, only_target, only_interf):
 
 
 def _chain_improvements(seed):
-    """SIR improvement of the full chain (WPE + cacGMM + MVDR-Souden
-    (+BAN)) over raw ch0 on the scene drawn from ``seed``, for
-    postfilter in (None, 'mask_mul').  Finiteness / non-silence pinned
-    per run (the round-3 f32 fusion-NaN class appeared only on
-    realistic scenes — the primary job of this file)."""
+    """Run the full chain (WPE + cacGMM + MVDR-Souden (+BAN)) on the
+    scene drawn from ``seed`` for postfilter in (None, 'mask_mul') and
+    return BOTH quality axes:
+
+    ``sir``   postfilter -> SIR improvement (dB) over raw ch0,
+    ``stoi``  ``{raw,bf,mm}_{span,ovl}``: STOI of raw ch0 / bf-only /
+              mask_mul against the target's reverberant image at mic 0
+              (scene['images'][0, 0]) over the full target span and over
+              the two-talker overlap region.
+
+    Finiteness / non-silence pinned per run (the round-3 f32 fusion-NaN
+    class appeared only on realistic scenes — the primary job of this
+    file)."""
     rng = np.random.default_rng(seed)
     scene = make_reverberant_scene(
         rng, num_speakers=2, duration=8.0, rt60=0.45, noise_snr_db=20.0)
     obs = scene['obs'].astype(np.float32)
     activity = scene['activity']
-    (a0, b0), (a1, b1) = scene['spans']
+    (a0, a1), (b0, b1) = scene['spans']
     N = obs.shape[1]
 
-    # exclusive regions (margin of 1000 samples away from the overlap)
+    # exclusive regions (margin of 1000 samples away from the overlap):
+    # target-only = [target start, interferer start - margin),
+    # interferer-only = [target end, interferer end)
     only0 = np.zeros(N, bool)
-    only0[a0:a1] = True
+    only0[a0:max(0, b0 - 1000)] = True
     only1 = np.zeros(N, bool)
-    only1[b0:b1] = True
-    only0[max(0, a1 - 1000):] &= False
+    only1[a1:b1] = True
     assert only0.sum() > FS and only1.sum() > FS
+
+    ref = scene['images'][0, 0]            # target reverberant image
+    span = slice(a0, a1)
+    lo, hi = max(a0, b0), min(a1, b1)      # two-talker overlap
+    assert hi - lo > FS, (seed, hi - lo)
+    ovl = slice(lo, hi)
 
     sir_raw = _sir_db(obs[0], only0, only1)
     improvements = {}
+    st = {'raw_span': stoi(ref[span], obs[0][span]),
+          'raw_ovl': stoi(ref[ovl], obs[0][ovl])}
     for postfilter in (None, 'mask_mul'):
         config = GssConfig(bss_iterations=10, postfilter=postfilter)
         act_f = activity_time_to_frequency(
@@ -68,7 +86,21 @@ def _chain_improvements(seed):
         assert np.isfinite(x_hat).all(), (seed, postfilter)
         assert np.abs(x_hat).max() > 0, (seed, postfilter)
         improvements[postfilter] = _sir_db(x_hat, only0, only1) - sir_raw
-    return improvements
+        tag = 'bf' if postfilter is None else 'mm'
+        st[f'{tag}_span'] = stoi(ref[span], x_hat[span])
+        st[f'{tag}_ovl'] = stoi(ref[ovl], x_hat[ovl])
+    return {'sir': improvements, 'stoi': st}
+
+
+_RESULTS = {}
+
+
+def _results(seed):
+    """Per-seed chain run, shared between the SIR and STOI gates (one
+    enhancement pass per (seed, postfilter) for the whole module)."""
+    if seed not in _RESULTS:
+        _RESULTS[seed] = _chain_improvements(seed)
+    return _RESULTS[seed]
 
 
 def test_full_chain_on_reverberant_harmonic_scene():
@@ -106,7 +138,7 @@ def test_full_chain_on_reverberant_harmonic_scene():
       * median mask_mul improvement > 10 dB
         (measured: +19.5 / +18.0 dB fold / pre-fold).
     """
-    per_seed = {seed: _chain_improvements(seed) for seed in (0, 1, 2)}
+    per_seed = {seed: _results(seed)['sir'] for seed in (0, 1, 2)}
     med_bf = float(np.median([d[None] for d in per_seed.values()]))
     med_mm = float(np.median([d['mask_mul'] for d in per_seed.values()]))
     print(f'\nrealistic scenes {sorted(per_seed)}: '
@@ -116,6 +148,52 @@ def test_full_chain_on_reverberant_harmonic_scene():
           f'(median {med_mm:.1f} dB)')
     assert med_bf > 1.5, per_seed
     assert med_mm > 10.0, per_seed
+
+
+def test_stoi_on_reverberant_harmonic_scene():
+    """Intelligibility gate (VERDICT r4 #7): SIR is an energy ratio and
+    cannot see musical-noise artifacts from aggressive masks — the
+    reference keeps a mask postfilter exactly to trade those
+    (/root/reference/pb_chime5/core.py:268-273).  STOI
+    (testing/metrics.py) against the TARGET's reverberant image at
+    mic 0, pinned the robust way (median over the same 3 scene seeds as
+    the SIR gate; runs are shared via :func:`_results`).
+
+    Measured distribution over seeds 0-7 on this machine
+    (scripts_dev/diag_stoi_scene.py, CPU):
+
+        full target span: raw median 0.640, bf 0.574, mm 0.580 —
+          enhanced sits slightly BELOW raw here because most of the span
+          is interference-free and the reference is the REVERBERANT
+          image: WPE's dereverberation + beamforming register as
+          reference mismatch (by design; see the script's docstring);
+        mm_span - bf_span: median +0.005, per-seed -0.021..+0.027 —
+          the mask postfilter does NOT erode intelligibility;
+        two-talker overlap region: bf - raw median +0.052,
+          mm - raw median +0.074 (per-seed -0.14..+0.11; negatives are
+          the spatially-degenerate draws, same mechanism as the SIR
+          gate's seed 4) — where interference exists, enhancement WINS
+          the intelligibility it exists to win.
+
+    Pins (median over seeds 0, 1, 2; measured values in parens):
+
+      * median mask_mul STOI in the overlap > 0.5        (0.750)
+      * median (mask_mul - raw) in the overlap > 0.02    (+0.070)
+      * median (mask_mul - bf) over the full span > -0.05 (+0.000)
+        — the musical-noise tripwire.
+    """
+    st = {seed: _results(seed)['stoi'] for seed in (0, 1, 2)}
+    med = {k: float(np.median([st[s][k] for s in st]))
+           for k in st[0]}
+    d_ovl = float(np.median([st[s]['mm_ovl'] - st[s]['raw_ovl']
+                             for s in st]))
+    d_span = float(np.median([st[s]['mm_span'] - st[s]['bf_span']
+                              for s in st]))
+    print(f'\nstoi medians {med}; mm-raw overlap {d_ovl:+.3f}, '
+          f'mm-bf span {d_span:+.3f}')
+    assert med['mm_ovl'] > 0.5, st
+    assert d_ovl > 0.02, st
+    assert d_span > -0.05, st
 
 
 def test_rooms_physics_sanity(rng):
