@@ -4,3 +4,8 @@ from pb_chime5_tpu.testing.synthetic import (
     create_synthetic_chime5,
     samples_to_time_str,
 )
+from pb_chime5_tpu.testing.soak import (
+    run_session_soak,
+    windowed_means,
+    read_rss_mb,
+)
