@@ -11,15 +11,20 @@ Prints TWO json lines (the driver parses the LAST line as the headline):
   {"metric": "xRT_session_end_to_end", ...}   <- the PRODUCT number:
       a real enhance_session run (synthetic 24-ch PCM16 corpus, WAVs to
       tmpfs) including audio reads, host loop, device->host downloads
-      and WAV writes.  The session (420 s) is LONGER than the 180 s
-      device-audio-cache window, so the timed pass pays cache refills
-      like a real 2.5 h session (VERDICT r3 weak #4); the JSON carries
-      the refill count.  In this dev environment the number is bound by
-      the host<->device tunnel, not the chip — see docs/ARCHITECTURE.md
-      "Session-level throughput".
+      and WAV writes; MEDIAN of 3 timed passes, with all walls and the
+      spread in the JSON (VERDICT r4 #6).  The session (420 s) is
+      LONGER than the 180 s device-audio-cache window, so the timed
+      passes pay cache refills like a real 2.5 h session (VERDICT r3
+      weak #4); the JSON carries the refill count.  In this dev
+      environment the number is bound by the host<->device tunnel, not
+      the chip — see docs/ARCHITECTURE.md "Session-level throughput".
   {"metric": "xRT_chime5_multiarray_gss", ...}  <- the DEVICE number:
       sustained dispatch-group throughput of the fused program (headline,
       north star >= 20x real time per chip, vs_baseline = value / 20).
+      `value` is xRT over PROCESSED audio (40 s: utterance + context);
+      `value_emitted` is xRT over the 10 s of EMITTED utterance audio;
+      `achieved_tflops` / `mfu_f32_6pass` / `mfu_bf16_dense` are the
+      analytic-FLOP MFU accounting (utils/flops.py, VERDICT r4 #3).
 
 Robustness (VERDICT r3 weak #1): the TPU tunnel in this environment is
 known-flaky — backend init can either raise UNAVAILABLE or hang
@@ -211,31 +216,37 @@ def bench_session():
             #                          from the data
         except Exception as e:       # warmup is an optimization; pass 1
             print('warmup skipped:', repr(e)[:200])   # absorbs compiles
-        # pass 1 absorbs any residual compile/cache effects; pass 2 is
-        # the measured steady state (same protocol as
+        # pass 1 absorbs any residual compile/cache effects; passes 2-4
+        # are the measured steady state (same protocol as
         # scripts_dev/bench_session.py)
         enhancer.enhance_session(['S02'], work / 'p1',
                                  audio_dir_exist_ok=True)
-        # two timed passes, best wall: identical code measures 54-62 s
-        # run to run purely on tunnel bandwidth drift (interleaved A/B,
-        # scripts_dev/bench_prefetch_ab.py), so one pass records a
-        # weather report; the best of two is the sustainable number
-        wall, stats, walls = None, {}, []
-        for name in ('p2', 'p3'):
+        # three timed passes, MEDIAN wall (VERDICT r4 #6): identical
+        # code measures 54-62 s run to run purely on tunnel bandwidth
+        # drift (interleaved A/B, scripts_dev/bench_prefetch_ab.py), so
+        # one pass records a weather report and best-of-N is an
+        # optimistic estimator; the median of three with the spread in
+        # the JSON is the honest sustainable number
+        walls, per_pass_stats = [], []
+        for name in ('p2', 'p3', 'p4'):
             stats_before = dict(enhancer._audio_cache.stats) \
                 if enhancer._audio_cache is not None else {}
             t0 = time.perf_counter()
             enhancer.enhance_session(['S02'], work / name,
                                      audio_dir_exist_ok=True)
-            w = time.perf_counter() - t0
-            walls.append(round(w, 2))
-            if wall is None or w < wall:
-                wall = w
-                if enhancer._audio_cache is not None:
-                    stats = {k: round(v - stats_before.get(k, 0), 4)
-                             for k, v in
-                             enhancer._audio_cache.stats.items()}
+            walls.append(round(time.perf_counter() - t0, 2))
+            if enhancer._audio_cache is not None:
+                per_pass_stats.append(
+                    {k: round(v - stats_before.get(k, 0), 4)
+                     for k, v in enhancer._audio_cache.stats.items()})
+            else:
+                per_pass_stats.append({})
+        order = sorted(range(len(walls)), key=walls.__getitem__)
+        median_i = order[len(walls) // 2]
+        wall = walls[median_i]
+        stats = per_pass_stats[median_i]     # cache stats of the median pass
         stats['walls_s'] = walls
+        stats['wall_spread_s'] = round(max(walls) - min(walls), 2)
         wavs = list((work / 'p2').rglob('*.wav'))
         assert len(wavs) == len(examples), (len(wavs), len(examples))
         # a bench on garbage is not a bench: every output must be real
@@ -341,11 +352,15 @@ def worker():
     try:
         span_s, session_wall, cache_stats = bench_session()
         session_xrt = span_s / session_wall
+        walls_s = cache_stats.pop('walls_s', [])
+        spread_s = cache_stats.pop('wall_spread_s', None)
         print(json.dumps({
             'metric': 'xRT_session_end_to_end',
-            'value': round(session_xrt, 2),
+            'value': round(session_xrt, 2),   # median of 3 timed passes
             'unit': 'x_realtime',
             'vs_baseline': round(session_xrt / 20.0, 3),
+            'walls_s': walls_s,
+            'wall_spread_s': spread_s,
             'cache': cache_stats,       # refills > 0: the timed pass
             #                             pays window uploads like a
             #                             real session (r3 weak #4)
@@ -356,12 +371,36 @@ def worker():
             'value': None, 'unit': 'x_realtime', 'error': repr(e)[:200],
         }))
 
+    # MFU accounting (VERDICT r4 #3): analytic dispatched-FLOP model of
+    # the fused program (utils/flops.py) over the measured wall.  Peak =
+    # v5e f32 6-pass (precision=HIGHEST contractions, the pipeline
+    # default); the dense-bf16 MFU is also carried for cross-chip
+    # comparability.
+    from pb_chime5_tpu.utils.flops import (
+        gss_total_flops, V5E_PEAK_TFLOPS_BF16, V5E_PEAK_TFLOPS_F32_6PASS)
+    flops = gss_total_flops(
+        num_samples=N, D=D, K=K, stft_size=config.stft_size,
+        stft_shift=config.stft_shift, stft_fading=config.stft_fading,
+        wpe_taps=config.wpe_taps, wpe_iterations=config.wpe_iterations,
+        bss_iterations=config.bss_iterations,
+        bss_iterations_post=config.bss_iterations_post)
+    achieved_tflops = flops / wall / 1e12
+
     xrt = seconds / wall
     print(json.dumps({
         'metric': HEADLINE_METRIC,
-        'value': round(xrt, 2),
+        'value': round(xrt, 2),          # xRT over PROCESSED audio
+        #                                  (utterance + 2x15 s context)
         'unit': 'x_realtime',
         'vs_baseline': round(xrt / 20.0, 3),
+        # xRT over EMITTED audio (the 10 s utterance actually written;
+        # context is algorithm input, not output) — VERDICT r4 #6
+        'value_emitted': round(utterance_seconds / wall, 2),
+        'achieved_tflops': round(achieved_tflops, 2),
+        'mfu_f32_6pass': round(achieved_tflops
+                               / V5E_PEAK_TFLOPS_F32_6PASS, 4),
+        'mfu_bf16_dense': round(achieved_tflops
+                                / V5E_PEAK_TFLOPS_BF16, 4),
     }))
 
 

@@ -97,7 +97,7 @@ def gss_stage_flops(*, num_samples, D, K, stft_size=1024, stft_shift=256,
     m_step = K * (8 * D * D * T) * F
     inv = K * (8 * D ** 3) * F
     # +1 m_step: the fused initial M-step from the activity init
-    flops['em'] = (e_step + m_step + inv) * em_iters + m_step * F
+    flops['em'] = (e_step + m_step + inv) * em_iters + m_step
 
     # beamformer: target + distortion PSDs, a D x D inverse + matmul
     # (MVDR-Souden numerator), and the w^H X apply (ops/beamform.py)

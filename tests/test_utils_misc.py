@@ -320,3 +320,49 @@ def test_add_context_dispatch():
     d = add_context(X, 1, 1, cnn_features=True, deltas_as_channel=True,
                     num_deltas=2)
     assert d.shape == (T, B, 3, 2, 3)
+
+
+def test_gss_flop_model_reproduces_ledger_bounds():
+    """The analytic FLOP model (utils/flops.py, VERDICT r4 #3) must
+    reproduce the two measured WPE-statistics FLOP bounds in the
+    ARCHITECTURE ledger from its own constants:
+
+    * full complex-einsum Gram (the 'xla' backend): 8*(taps*D)^2*T*F
+      real FLOPs/iter = 592 GFLOP at the headline config -> 18.0 ms at
+      the 32.8 TFLOP/s f32 6-pass peak (ledger: "~18 ms/iter");
+    * real-form Hermitian-blocked Grams (the shipping backend): the
+      model's wpe_stats counts the lower-triangular strips + P fold ->
+      ~13 ms/iter at the same peak (ledger round-4 entry).
+
+    Also pins the invariants the bench MFU depends on: stage shares and
+    the total at the headline config.
+    """
+    from pb_chime5_tpu.utils.flops import (
+        gss_stage_flops, gss_total_flops, V5E_PEAK_TFLOPS_F32_6PASS)
+    from pb_chime5_tpu.ops.stft import stft_frame_count
+
+    kw = dict(num_samples=640000, D=24, K=5)
+    fs = gss_stage_flops(**kw)
+    assert gss_total_flops(**kw) == sum(fs.values())
+
+    T = stft_frame_count(640000, 1024, 256, fading=True)
+    F = 513
+    peak = V5E_PEAK_TFLOPS_F32_6PASS * 1e12
+
+    # ledger bound 1: full complex Gram ~18 ms/iter
+    full_gram = 8 * (10 * 24) ** 2 * T * F
+    assert abs(full_gram / peak * 1e3 - 18.0) < 0.5
+
+    # ledger bound 2: real-form blocked stats ~13 ms/iter (the model's
+    # per-iteration wpe_stats), and it must be cheaper than the full
+    # Gram (that is the point of the blocked formulation)
+    per_iter = fs['wpe_stats'] / 3
+    assert 12.0 < per_iter / peak * 1e3 < 14.0
+    assert per_iter < full_gram
+
+    # headline total ~3.0 TFLOP; wpe_stats and EM are the two dominant
+    # stages (~43% each)
+    tot = sum(fs.values())
+    assert 2.8e12 < tot < 3.2e12
+    assert 0.38 < fs['wpe_stats'] / tot < 0.48
+    assert 0.38 < fs['em'] / tot < 0.48
