@@ -158,6 +158,16 @@ def _scatter_call(z2, z2t, pt2, lw, ld, act, fm, *, K, D, time_tile,
             jax.ShapeDtypeStruct((F, 2 * D, 2 * KD), jnp.float32),
             jax.ShapeDtypeStruct((F, 1, K), jnp.float32),
         ),
+        # The kernel's elementwise intermediates (vz2/prod/w2/... ~5.8 KB
+        # per frame) put the scoped-VMEM stack at ~16 MB for the headline
+        # single-tile T=2504 — under the default 16 MB limit standalone,
+        # but OVER it when vmap (the batched/mesh dispatch paths) adds
+        # its batch-index bookkeeping: measured 18.21 MB at B=4 (compile
+        # OOM, round 5).  Raise the per-kernel cap to 32 MB (v5e has
+        # 128 MB VMEM/core); same tile everywhere keeps batched output
+        # rows bit-identical to the single-utterance program.
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=32 * 1024 * 1024),
         interpret=interpret,
     )(z2, z2t, pt2, lw, ld, act, fm)
     return s4, den
