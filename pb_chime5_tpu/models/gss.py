@@ -561,11 +561,26 @@ def enable_persistent_compilation_cache():
     """Idempotent: the fused program takes minutes to compile through the
     remote TPU compile service; cache compilations on disk
     (PB_JAX_CACHE_DIR env var or <repo>/.jax_cache), scoped per machine
-    (:func:`machine_cache_scope`) so CPU AOT entries never cross hosts."""
+    (:func:`machine_cache_scope`) so CPU AOT entries never cross hosts.
+
+    NOT enabled when JAX is pinned to the CPU backend (tests, the
+    driver's ``dryrun_multichip``, ``JAX_PLATFORMS=cpu`` runs): XLA:CPU
+    AOT entries embed compile-time tuning pseudo-features
+    (``+prefer-no-scatter``/``+prefer-no-gather``) that can never appear
+    in the host's CPU feature list, so EVERY reload — even on the very
+    machine that wrote the entry — logs a ``cpu_aot_loader.cc`` "could
+    lead to execution errors such as SIGILL" warning (observed:
+    MULTICHIP_r04 tail).  CPU compiles of these programs take seconds,
+    not minutes; persistence buys nothing there and costs a scary
+    correctness warning, so the cache is TPU-only."""
     import os
     if getattr(enable_persistent_compilation_cache, '_done', False):
         return
     enable_persistent_compilation_cache._done = True
+    platforms = (jax.config.jax_platforms
+                 or os.environ.get('JAX_PLATFORMS') or '')
+    if platforms.split(',')[0].strip().lower() == 'cpu':
+        return
     try:
         from pathlib import Path
         base = os.environ.get(
