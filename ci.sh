@@ -5,10 +5,10 @@
 #   test_run -> kaldi_run shard -> fake CHiME-6 -> chime6 test_run ->
 #   RTTM run.
 #
-# Lanes (VERDICT r2 next #8, re-tiered r4 #8):
+# Lanes (VERDICT r2 next #8, re-tiered r4 #8 and again r5):
 #   ./ci.sh        fast lane: tests marked -m "not slow" (< 7 min on
-#                  1 CPU; measured 6m15s clean on the dev box after
-#                  re-tiering ~90 s of heavyweights to `slow` — and
+#                  1 CPU; measured 6m02s clean on the dev box after
+#                  re-tiering ~140 s of heavyweights to `slow` — and
 #                  SELF-CHECKED: the run times itself against
 #                  FAST_LANE_BUDGET_S (default 420) and FAILS if it
 #                  overruns, so the lane can never silently outgrow

@@ -200,13 +200,20 @@ class Enhancer:
     # the refill transfer behind device compute on time-ordered
     # schedules; bit-identical outputs, self-disabling on misprediction
     cache_prefetch: bool = True
+    # trim the ±context span off the enhanced waveform IN-GRAPH
+    # (GssPipeline._plan_trim) so only ~the emitted utterance bytes
+    # cross the device->host boundary (~4x fewer download bytes at the
+    # reference's 15 s context, core.py:500-505); bit-identical outputs
+    # (tested), at most 8 extra back-program compiles per length bucket
+    device_trim: bool = True
 
     def __post_init__(self):
         self._pipeline = GssPipeline(
             self.gss_config,
             length_buckets=(list(self.length_buckets)
                             if self.length_buckets else None),
-            dtype=self.compute_dtype)
+            dtype=self.compute_dtype,
+            device_trim=self.device_trim)
         self._audio_cache = None
         if self.device_audio_cache:
             from pb_chime5_tpu.models.audio_cache import SessionAudioCache
@@ -589,9 +596,29 @@ class Enhancer:
         # give some utterances a different channel count: warm every
         # distinct shape the session will dispatch
         shapes = {}
+        trim_buckets = set()
         for example in it:
             n, a, first = shape_of(example)
             shapes.setdefault((n, a), first)
+            # device-trim back-program variants the session will
+            # dispatch (GssPipeline._plan_trim): derive the
+            # (bucket, output-bucket) pairs from the real lengths
+            if self._pipeline.device_trim:
+                try:
+                    trim = self._trim(example, reference_array)
+                    spans = self._cache_spans(example, reference_array)
+                    n_samples = min(int(s[2]) - int(s[1])
+                                    for s in spans)
+                    n_pad = self._pipeline.bucket_length(n_samples)
+                    if trim is not None and \
+                            0 <= trim[0] and \
+                            trim[0] + trim[1] <= n_samples:
+                        out_pad = self._pipeline.output_bucket(
+                            trim[1], n_pad)
+                        if out_pad is not None:
+                            trim_buckets.add((n_pad, out_pad))
+                except Exception:
+                    pass     # warmup is best-effort; dispatch compiles
         num_classes = len(self._example_activity(ex, reference_array))
         for (num_channels, num_arrays), first_path in shapes.items():
             probe = load_audio(first_path, start=0, stop=1, dtype=None)
@@ -620,7 +647,8 @@ class Enhancer:
             else:
                 self._pipeline.warmup(
                     num_channels, num_classes, dtype=dtype,
-                    lengths=lengths, parallel=parallel, **cache_kw)
+                    lengths=lengths, parallel=parallel,
+                    trim_buckets=sorted(trim_buckets), **cache_kw)
 
     def _resolve_reference_array(self, ex):
         if self.reference_array is not None:
@@ -767,23 +795,34 @@ class Enhancer:
                 ex['num_samples_orig']['observation'][reference_array])
 
     def _dispatch_loaded(self, ex, reference_array, obs):
-        """Device-dispatch part: returns (pipeline handle, trim) without
-        blocking, so the session loop can overlap upload+compute of the
-        next utterance with gathering this one."""
+        """Device-dispatch part: returns (pipeline handle, residual
+        trim) without blocking, so the session loop can overlap
+        upload+compute of the next utterance with gathering this one.
+
+        The output trim (cut the ±context span back to the original
+        utterance, reference core.py:500-505) is handed to the pipeline,
+        which applies it in-graph when profitable so only the emitted
+        utterance bytes cross the device->host boundary
+        (``GssPipeline._plan_trim``); the residual trim returned here is
+        therefore always None — ``gather`` yields the emitted
+        waveform."""
         activity_freq, target_index, start_cf, end_cf = self._device_args(
             self._example_activity(ex, reference_array),
             ex['speaker_id'], ex)
+        trim = self._trim(ex, reference_array)
         from pb_chime5_tpu.models.audio_cache import CachedWindow
         if isinstance(obs, CachedWindow):
             handle = self._pipeline.dispatch_cached(
                 obs.buf, obs.offsets, obs.num_valid_samples,
                 activity_freq, target_index,
-                start_context_frames=start_cf, end_context_frames=end_cf)
+                start_context_frames=start_cf, end_context_frames=end_cf,
+                trim=trim)
         else:
             handle = self._pipeline.dispatch(
                 obs, activity_freq, target_index,
-                start_context_frames=start_cf, end_context_frames=end_cf)
-        return handle, self._trim(ex, reference_array)
+                start_context_frames=start_cf, end_context_frames=end_cf,
+                trim=trim)
+        return handle, None
 
     def _finish_dispatched(self, handle, trim):
         x_hat = self._pipeline.gather(handle)
@@ -846,6 +885,7 @@ def get_enhancer(
     device_audio_cache=True,
     cache_window_seconds=180.0,
     cache_prefetch=True,
+    device_trim=True,
 ):
     """Factory with the reference's exact keyword surface
     (pb_chime5/core.py:574-637; the sacred CLI auto-derives its config
@@ -890,4 +930,5 @@ def get_enhancer(
         device_audio_cache=device_audio_cache,
         cache_window_seconds=cache_window_seconds,
         cache_prefetch=cache_prefetch,
+        device_trim=device_trim,
     )

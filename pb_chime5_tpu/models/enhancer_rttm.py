@@ -77,13 +77,16 @@ class Enhancer:
     context_samples: int = 240000
     length_buckets: tuple = DEFAULT_LENGTH_BUCKETS
     compute_dtype: object = np.float32
+    # in-graph output trim (see models/enhancer.py Enhancer.device_trim)
+    device_trim: bool = True
 
     def __post_init__(self):
         self._pipeline = GssPipeline(
             self.gss_config,
             length_buckets=(list(self.length_buckets)
                             if self.length_buckets else None),
-            dtype=self.compute_dtype)
+            dtype=self.compute_dtype,
+            device_trim=self.device_trim)
 
     @property
     def stft_size(self):
@@ -152,13 +155,17 @@ class Enhancer:
         def dispatch(example_id, ex):
             activity_freq, target_index, start_cf, end_cf = \
                 self._device_args(ex)
-            handle = self._pipeline.dispatch(
-                ex['audio_data'], activity_freq, target_index,
-                start_context_frames=start_cf, end_context_frames=end_cf)
             trim = ((ex['start_orig'] - ex['start'],
                      ex['num_samples_orig'])
                     if self.context_samples > 0 else None)
-            return example_id, handle, trim, ex['session_id']
+            # the pipeline applies the trim (in-graph when profitable,
+            # GssPipeline._plan_trim) — gather returns the emitted
+            # waveform
+            handle = self._pipeline.dispatch(
+                ex['audio_data'], activity_freq, target_index,
+                start_context_frames=start_cf, end_context_frames=end_cf,
+                trim=trim)
+            return example_id, handle, None, ex['session_id']
 
         def finish(example_id, handle, trim, session_id):
             x_hat = self._pipeline.gather(handle)

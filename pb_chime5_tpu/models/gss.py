@@ -238,8 +238,29 @@ def enhance_spectrogram(
                      snr_reduce=snr_reduce)
 
 
+def _trim_output(x_hat, start, samples):
+    """In-graph output trim: slice ``samples`` samples starting at the
+    traced offset ``start`` out of the enhanced waveform, so only the
+    emitted utterance region (not the ±context span) crosses the
+    device->host boundary.  The tail is zero-padded by ``samples`` first
+    so ``lax.dynamic_slice``'s start clamping (start <= len - size) can
+    never shift the slice for any in-range ``start`` — the values are a
+    pure copy, bit-identical to slicing on the host.
+
+    The reference always materializes the full context span on the host
+    and trims there (core.py:500-505); on this runtime the full-span
+    download is ~4x the emitted bytes (10 s utterance + 2x15 s context).
+    """
+    if samples is None:
+        return x_hat
+    return jax.lax.dynamic_slice_in_dim(
+        jnp.pad(x_hat, (0, samples)), start, samples)
+
+
 @functools.partial(
-    jax.jit, static_argnames=('config', 'num_output_samples'))
+    jax.jit,
+    static_argnames=('config', 'num_output_samples',
+                     'output_trim_samples'))
 def gss_enhance(
         obs,
         activity_freq,
@@ -250,6 +271,8 @@ def gss_enhance(
         end_context_frames=0,
         num_valid_samples=None,
         num_output_samples: int = None,
+        output_trim_start=0,
+        output_trim_samples: int = None,
 ):
     """Enhance one (possibly padded) multichannel utterance.
 
@@ -270,12 +293,19 @@ def gss_enhance(
         ``obs`` is zero-padded to a bucket length.  Frames beyond the valid
         region are excluded from WPE/EM/beamformer statistics.
       num_output_samples: optional static int output length (defaults to N).
+      output_trim_start / output_trim_samples: optional in-graph output
+        trim (traced start, STATIC length) — when set, only
+        ``x_hat[output_trim_start : output_trim_start +
+        output_trim_samples]`` is returned (see :func:`_trim_output`), so
+        the emitted utterance region rather than the full ±context span
+        crosses the device->host boundary.
 
     Returns:
       (x_hat (num_output_samples,), masks (K, T, F)) — the enhanced
       waveform still contains the acoustic context; the caller trims
       ``start_context : start_context + num_samples_orig``
-      (reference core.py:500-505).
+      (reference core.py:500-505) — unless ``output_trim_samples``
+      already did it in-graph.
     """
     Obs, frame_mask, N = _stft_and_mask(obs, num_valid_samples, config)
     Obs = _wpe_stage(Obs, config, frame_mask)
@@ -289,6 +319,7 @@ def gss_enhance(
         num_samples=num_output_samples if num_output_samples is not None
         else N,
     )
+    x_hat = _trim_output(x_hat, output_trim_start, output_trim_samples)
     return x_hat, jnp.transpose(masks, (1, 2, 0))              # (K, T, F)
 
 
@@ -355,7 +386,8 @@ def _slice_cached_obs(cache, offsets, num_arrays, slice_samples,
 
 @functools.partial(
     jax.jit, static_argnames=('config', 'num_arrays', 'slice_samples',
-                              'num_output_samples'))
+                              'num_output_samples',
+                              'output_trim_samples'))
 def gss_enhance_cached(
         cache,
         offsets,
@@ -369,6 +401,8 @@ def gss_enhance_cached(
         end_context_frames=0,
         num_valid_samples=None,
         num_output_samples: int = None,
+        output_trim_start=0,
+        output_trim_samples: int = None,
 ):
     """:func:`gss_enhance` with the observation sliced out of a
     device-resident session-audio cache instead of uploaded per
@@ -409,6 +443,7 @@ def gss_enhance_cached(
         num_samples=num_output_samples if num_output_samples is not None
         else N,
     )
+    x_hat = _trim_output(x_hat, output_trim_start, output_trim_samples)
     return x_hat, jnp.transpose(masks, (1, 2, 0))              # (K, T, F)
 
 
@@ -451,16 +486,20 @@ def _gss_em(Obs_fdt, activity_freq, frame_mask, *, config):
 
 
 @functools.partial(
-    jax.jit, static_argnames=('config', 'num_output_samples'))
+    jax.jit,
+    static_argnames=('config', 'num_output_samples',
+                     'output_trim_samples'))
 def _gss_back(Obs_fdt, masks, target_index, start_context_frames,
               end_context_frames, frame_mask, *, config,
-              num_output_samples):
+              num_output_samples, output_trim_start=0,
+              output_trim_samples=None):
     X_hat, masks = _bf_stage(
         Obs_fdt, masks, target_index, config,
         start_context_frames, end_context_frames, frame_mask)
     x_hat = istft(
         X_hat.T, config.stft_size, config.stft_shift,
         fading=config.stft_fading, num_samples=num_output_samples)
+    x_hat = _trim_output(x_hat, output_trim_start, output_trim_samples)
     return x_hat, jnp.transpose(masks, (1, 2, 0))
 
 
@@ -487,6 +526,8 @@ def gss_enhance_split(
         end_context_frames=0,
         num_valid_samples=None,
         num_output_samples: int = None,
+        output_trim_start=0,
+        output_trim_samples: int = None,
 ):
     """Same contract as :func:`gss_enhance`, executed as three programs
     (see ``GssConfig.compile_mode='fast_start'``)."""
@@ -496,7 +537,9 @@ def gss_enhance_split(
     masks = _gss_em(Obs, activity_freq, frame_mask, config=config)
     return _gss_back(Obs, masks, target_index, start_context_frames,
                      end_context_frames, frame_mask, config=config,
-                     num_output_samples=num_output_samples)
+                     num_output_samples=num_output_samples,
+                     output_trim_start=output_trim_start,
+                     output_trim_samples=output_trim_samples)
 
 
 def gss_enhance_cached_split(
@@ -512,6 +555,8 @@ def gss_enhance_cached_split(
         end_context_frames=0,
         num_valid_samples=None,
         num_output_samples: int = None,
+        output_trim_start=0,
+        output_trim_samples: int = None,
 ):
     """:func:`gss_enhance_cached` executed as three programs (the cached
     twin of :func:`gss_enhance_split`)."""
@@ -523,7 +568,9 @@ def gss_enhance_cached_split(
     masks = _gss_em(Obs, activity_freq, frame_mask, config=config)
     return _gss_back(Obs, masks, target_index, start_context_frames,
                      end_context_frames, frame_mask, config=config,
-                     num_output_samples=num_output_samples)
+                     num_output_samples=num_output_samples,
+                     output_trim_start=output_trim_start,
+                     output_trim_samples=output_trim_samples)
 
 
 def machine_cache_scope() -> str:
@@ -599,10 +646,19 @@ class GssPipeline:
     (config, D, bucketed N, K)."""
 
     def __init__(self, config: GssConfig = GssConfig(), *,
-                 length_buckets=None, dtype=np.float32):
+                 length_buckets=None, dtype=np.float32,
+                 device_trim=True):
         self.config = config
         self.length_buckets = length_buckets
         self.dtype = dtype
+        # device_trim: when a ``trim`` is passed to dispatch, slice the
+        # emitted utterance region out of the enhanced waveform IN-GRAPH
+        # (static bucketed length, see :meth:`output_bucket`) so only
+        # ~the utterance bytes cross the device->host boundary instead
+        # of the full ±context span (~4x at the reference's 15 s
+        # context).  Bit-identical outputs; costs at most 8 extra
+        # back-program compiles per length bucket.
+        self.device_trim = device_trim
         enable_persistent_compilation_cache()
 
     def bucket_length(self, n: int) -> int:
@@ -615,6 +671,18 @@ class GssPipeline:
         # bucket's granularity so outliers still share compilations
         top = self.length_buckets[-1]
         return -(-n // top) * top
+
+    @staticmethod
+    def output_bucket(num_emitted: int, bucket_samples: int):
+        """Static download length for an in-graph output trim of
+        ``num_emitted`` samples from a ``bucket_samples``-long program:
+        ``num_emitted`` rounded up to 1/8ths of the bucket (at most 8
+        compile variants per bucket, at most bucket/8 wasted download).
+        None when the trim would not shrink the download (caller should
+        trim on the host as usual)."""
+        step = -(-bucket_samples // 8)
+        out = -(-int(num_emitted) // step) * step
+        return out if out < bucket_samples else None
 
     def frame_count(self, num_samples: int) -> int:
         return stft_frame_count(
@@ -639,12 +707,42 @@ class GssPipeline:
             obs = obs[None]
         return obs
 
+    def _plan_trim(self, trim, N, N_pad):
+        """(valid samples of the downloaded waveform, host slice, jit
+        kwargs) for an optional ``trim=(start, num_emitted)``.
+
+        With ``device_trim`` the emitted region is sliced in-graph
+        (:func:`_trim_output`, static :meth:`output_bucket` length) and
+        the host keeps only ``[:num_emitted]``; otherwise — or when the
+        trim region is not fully inside the valid samples, or would not
+        shrink the download — ``gather`` applies exactly the
+        ``x_hat[:N][start:start+num]`` the callers used to do
+        themselves.  Either way ``gather`` returns the emitted
+        waveform."""
+        if trim is None:
+            return N, slice(None), {}
+        t0, tn = int(trim[0]), int(trim[1])
+        out_pad = (self.output_bucket(tn, N_pad)
+                   if self.device_trim and 0 <= t0 and t0 + tn <= N
+                   else None)
+        if out_pad is None:
+            return N, slice(t0, t0 + tn), {}
+        return tn, slice(None), dict(
+            output_trim_start=jnp.int32(t0),
+            output_trim_samples=out_pad)
+
     def dispatch(self, obs, activity_freq, target_index, *,
-                 start_context_frames=0, end_context_frames=0):
+                 start_context_frames=0, end_context_frames=0,
+                 trim=None):
         """Asynchronous call: returns an opaque handle immediately (jax
         dispatch is async), so the caller can enqueue the next
         utterance's upload+compute while this one runs; resolve with
-        ``gather``."""
+        ``gather``.
+
+        ``trim=(start, num_emitted)``: have ``gather`` return only the
+        emitted utterance region (reference core.py:500-505) — sliced
+        in-graph when profitable (see :meth:`_plan_trim`) so the
+        ±context span never crosses the device->host boundary."""
         obs = self._normalize_obs(obs)
         D, N = obs.shape
         N_pad = self.bucket_length(N)
@@ -657,6 +755,7 @@ class GssPipeline:
         enhance = (gss_enhance_split
                    if self.config.compile_mode == 'fast_start'
                    else gss_enhance)
+        N_dl, host_slice, trim_kw = self._plan_trim(trim, N, N_pad)
         x_hat, masks = enhance(
             padded, act, jnp.int32(target_index),
             config=self.config,
@@ -664,12 +763,14 @@ class GssPipeline:
             end_context_frames=jnp.int32(end_context_frames),
             num_valid_samples=jnp.int32(N),
             num_output_samples=N_pad,
+            **trim_kw,
         )
-        return x_hat, masks, N
+        return x_hat, masks, N_dl, host_slice
 
     def dispatch_cached(self, cache, offsets, num_valid_samples,
                         activity_freq, target_index, *,
-                        start_context_frames=0, end_context_frames=0):
+                        start_context_frames=0, end_context_frames=0,
+                        trim=None):
         """Asynchronous dispatch with the observation sliced from a
         device-resident session-audio window (see
         :func:`gss_enhance_cached` and ``models/audio_cache.py``).
@@ -692,6 +793,7 @@ class GssPipeline:
         enhance = (gss_enhance_cached_split
                    if self.config.compile_mode == 'fast_start'
                    else gss_enhance_cached)
+        N_dl, host_slice, trim_kw = self._plan_trim(trim, N, N_pad)
         x_hat, masks = enhance(
             cache, jnp.asarray(offsets), act, jnp.int32(target_index),
             config=self.config,
@@ -701,12 +803,13 @@ class GssPipeline:
             end_context_frames=jnp.int32(end_context_frames),
             num_valid_samples=jnp.int32(N),
             num_output_samples=N_pad,
+            **trim_kw,
         )
-        return x_hat, masks, N
+        return x_hat, masks, N_dl, host_slice
 
     def warmup(self, num_channels, num_classes, *, dtype=None,
                lengths=None, parallel=True, cache_window_samples=None,
-               num_arrays=None, cache_lengths=None):
+               num_arrays=None, cache_lengths=None, trim_buckets=None):
         """Ahead-of-time compile the enhancement programs for every
         length bucket.
 
@@ -720,12 +823,21 @@ class GssPipeline:
         :func:`_gss_front_cached`) are compiled too — for
         ``cache_lengths`` (default: ``lengths``; pass only the buckets
         that actually fit the window).
+
+        ``trim_buckets``: iterable of (bucket_samples, output_samples)
+        pairs — the device-trim program variants a session with
+        ``device_trim`` will dispatch (see :meth:`_plan_trim`;
+        ``Enhancer.warmup`` derives the pairs from the session's real
+        utterance lengths).
         """
         import concurrent.futures
 
         dtype = np.dtype(dtype if dtype is not None else self.dtype)
         lengths = sorted({self.bucket_length(n) for n in (
             lengths if lengths is not None else self.length_buckets or ())})
+        trim_by_bucket = {}
+        for n_pad, out_pad in (trim_buckets or ()):
+            trim_by_bucket.setdefault(int(n_pad), set()).add(int(out_pad))
         config = self.config
         i32 = jax.ShapeDtypeStruct((), jnp.int32)
         jobs = []
@@ -749,16 +861,22 @@ class GssPipeline:
                             cs, os_, i32, config=c, num_arrays=a,
                             slice_samples=n).compile())
                 else:
-                    jobs.append(
-                        lambda cs=cache_s, os_=offs_s, ac=act_s,
-                        c=config, a=A, n=N_pad:
-                        gss_enhance_cached.lower(
-                            cs, os_, ac, i32, config=c, num_arrays=a,
-                            slice_samples=n,
-                            start_context_frames=i32,
-                            end_context_frames=i32,
-                            num_valid_samples=i32,
-                            num_output_samples=n).compile())
+                    for out_pad in (None, *sorted(
+                            trim_by_bucket.get(N_pad, ()))):
+                        jobs.append(
+                            lambda cs=cache_s, os_=offs_s, ac=act_s,
+                            c=config, a=A, n=N_pad, t=out_pad:
+                            gss_enhance_cached.lower(
+                                cs, os_, ac, i32, config=c, num_arrays=a,
+                                slice_samples=n,
+                                start_context_frames=i32,
+                                end_context_frames=i32,
+                                num_valid_samples=i32,
+                                num_output_samples=n,
+                                **({} if t is None else dict(
+                                    output_trim_start=i32,
+                                    output_trim_samples=t)),
+                            ).compile())
         for N_pad in lengths:
             T_pad = self.frame_count(N_pad)
             F = config.stft_size // 2 + 1
@@ -778,20 +896,35 @@ class GssPipeline:
                         o, i32, config=c).compile(),
                     lambda o=obs_f, a=act_s, f=fm_s, c=config:
                         _gss_em.lower(o, a, f, config=c).compile(),
-                    lambda o=obs_f, m=masks_s, f=fm_s, c=config, n=N_pad:
-                        _gss_back.lower(
-                            o, m, i32, i32, i32, f, config=c,
-                            num_output_samples=n).compile(),
                 ]
+                for out_pad in (None, *sorted(
+                        trim_by_bucket.get(N_pad, ()))):
+                    jobs.append(
+                        lambda o=obs_f, m=masks_s, f=fm_s, c=config,
+                        n=N_pad, t=out_pad:
+                            _gss_back.lower(
+                                o, m, i32, i32, i32, f, config=c,
+                                num_output_samples=n,
+                                **({} if t is None else dict(
+                                    output_trim_start=i32,
+                                    output_trim_samples=t)),
+                            ).compile())
             else:
-                jobs.append(
-                    lambda o=obs_s, a=act_s, c=config, n=N_pad:
-                        gss_enhance.lower(
-                            o, a, i32, config=c,
-                            start_context_frames=i32,
-                            end_context_frames=i32,
-                            num_valid_samples=i32,
-                            num_output_samples=n).compile())
+                for out_pad in (None, *sorted(
+                        trim_by_bucket.get(N_pad, ()))):
+                    jobs.append(
+                        lambda o=obs_s, a=act_s, c=config, n=N_pad,
+                        t=out_pad:
+                            gss_enhance.lower(
+                                o, a, i32, config=c,
+                                start_context_frames=i32,
+                                end_context_frames=i32,
+                                num_valid_samples=i32,
+                                num_output_samples=n,
+                                **({} if t is None else dict(
+                                    output_trim_start=i32,
+                                    output_trim_samples=t)),
+                            ).compile())
         if parallel:
             with concurrent.futures.ThreadPoolExecutor(
                     max_workers=max(1, len(jobs))) as pool:
@@ -889,9 +1022,10 @@ class GssPipeline:
 
     @staticmethod
     def gather(handle, return_masks=False):
-        x_hat, masks, N = handle
-        return ((np.asarray(x_hat)[:N], np.asarray(masks))
-                if return_masks else np.asarray(x_hat)[:N])
+        x_hat, masks, N, *rest = handle
+        sl = rest[0] if rest else slice(None)
+        x = np.asarray(x_hat)[:N][sl]
+        return (x, np.asarray(masks)) if return_masks else x
 
     def __call__(self, obs, activity_freq, target_index, *,
                  start_context_frames=0, end_context_frames=0,

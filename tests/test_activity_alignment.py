@@ -76,6 +76,8 @@ def test_missing_alignment_returns_one(monkeypatch):
     assert fn(ex, 'P05') == 1
 
 
+# slow: CLI wrapper; the projection/cut unit tests stay fast
+@pytest.mark.slow
 def test_cli_dumps_annotation_pickles(tmp_path):
     """The activity cache CLI on the synthetic corpus, consumed by
     Activity(type='path')."""

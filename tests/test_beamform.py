@@ -170,6 +170,8 @@ def test_mvdr_explicit_ref_channel_indexing(rng):
     np.testing.assert_allclose(w_clamped, w_last, atol=1e-12)
 
 
+# slow: numerics edge case
+@pytest.mark.slow
 def test_gev_near_degenerate_spectrum(rng):
     """Two equal-power sources (VERDICT r2 weak #6): the generalized
     spectrum's top two eigenvalues nearly coincide, exactly where the

@@ -1,6 +1,7 @@
 """cacGMM EM: oracle parity, separation quality, masking semantics."""
 
 import numpy as np
+import pytest
 import jax.numpy as jnp
 
 from pb_chime5_tpu.ops import cacgmm_posteriors, CacgmmConfig
@@ -193,6 +194,8 @@ def test_pallas_em_long_utterance_multi_tile(rng):
     np.testing.assert_allclose(got, ref, atol=2e-3)
 
 
+# slow: numerics edge case (fast lane keeps the parity/shape tests)
+@pytest.mark.slow
 def test_empty_activity_class_stays_finite(rng):
     """A class whose activity is all-zero inside the utterance window (a
     speaker silent in this segment — routine in real sessions) must not

@@ -193,6 +193,8 @@ def test_kaldi_run_cli_sharding(corpus, tmp_path):
     assert len(wavs) == it_len
 
 
+# slow: ci.sh's fast lane already runs the CHiME-6 CLI end-to-end
+@pytest.mark.slow
 def test_chime6_pipeline(corpus, tmp_path):
     """CHiME-5 -> fake CHiME-6 tree -> chime6 db json -> chime6 enhancer
     (reference jenkins.bash:41-45)."""
@@ -786,6 +788,8 @@ def test_mesh_dispatch_reuses_traced_executable(corpus, tmp_path):
         sharded_gss_fn(mesh, config, 64000)
 
 
+# slow: debug-introspection twin, not the production dispatch path
+@pytest.mark.slow
 def test_debug_example_aux_outputs(corpus, tmp_path):
     """Enhancer.debug_example returns the per-EM-iteration introspection
     (weights / logdet / condition / posterior_entropy) AND an x_hat

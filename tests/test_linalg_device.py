@@ -117,7 +117,7 @@ def test_real_dtype_supported(rng):
 @pytest.mark.parametrize('d', [
     pytest.param(64, marks=pytest.mark.slow),
     pytest.param(240, marks=pytest.mark.slow),
-    33,
+    pytest.param(33, marks=pytest.mark.slow),
 ])
 def test_solve_from_panels_matches_assembled_solve(rng, d):
     """The panel-direct substitution (_solve_from_panels) must agree with

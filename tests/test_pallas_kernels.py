@@ -37,6 +37,8 @@ def test_inverse_batched_shapes(rng):
                                atol=1e-3)
 
 
+# slow: numerics edge case (the parity tests above stay fast)
+@pytest.mark.slow
 def test_inverse_ill_conditioned(rng):
     """Near-singular + loading stays finite (the EM's usage pattern)."""
     d = 16
@@ -55,7 +57,9 @@ from pb_chime5_tpu.ops.pallas.gj_inverse2d import (
     hermitian_inverse_and_logdet_2d)
 
 
-@pytest.mark.parametrize('d', [4, 24, 32])
+@pytest.mark.parametrize('d', [
+    4, 24, pytest.param(32, marks=pytest.mark.slow),
+])
 def test_inverse2d_matches_numpy(rng, d):
     B = _random_hpd(rng, 7, d)
     inv, ld = hermitian_inverse_and_logdet_2d(jnp.asarray(B),

@@ -33,6 +33,8 @@ def test_eight_devices_available():
     assert len(jax.devices()) == 8
 
 
+# slow: mesh parity stays fast via test_enhance_session_mesh_matches_serial
+@pytest.mark.slow
 def test_batched_matches_single(rng):
     obs, acts, tgts, valids, config, N = _batch(rng, B=2)
     out = np.asarray(batched_gss_enhance(
