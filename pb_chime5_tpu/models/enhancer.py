@@ -204,7 +204,12 @@ class Enhancer:
     # (GssPipeline._plan_trim) so only ~the emitted utterance bytes
     # cross the device->host boundary (~4x fewer download bytes at the
     # reference's 15 s context, core.py:500-505); bit-identical outputs
-    # (tested), at most 8 extra back-program compiles per length bucket
+    # (tested), at most 8 extra back-program compiles per length bucket.
+    # Serial path only: the mesh loop keeps the host-side trim — a
+    # batch's rows have heterogeneous trims, so the static output
+    # length would depend on batch composition and churn compiles
+    # (breaking the mesh warmup's zero-new-compiles guarantee) to save
+    # D2H bytes that ride PCIe, not this dev environment's tunnel
     device_trim: bool = True
 
     def __post_init__(self):
