@@ -24,6 +24,8 @@ jax.config.update('jax_platforms', 'cpu')
 # dtype-polymorphic (the TPU path feeds float32/complex64).
 jax.config.update('jax_enable_x64', True)
 
+import gc
+
 import numpy as np
 import pytest
 
@@ -31,6 +33,36 @@ import pytest
 @pytest.fixture
 def rng():
     return np.random.default_rng(0)
+
+
+def _purge_compile_state():
+    """Drop every compiled XLA:CPU executable we can reach.
+
+    The full lane (~300 tests, one process) accumulates hundreds of
+    LLVM-JIT-compiled programs; past ~215 tests the NEXT large compile
+    segfaults inside ``backend_compile_and_load`` (XLA:CPU LLVM JIT) —
+    deterministic per tree, every test passes in isolation.  Freeing
+    loaded executables at module boundaries keeps the JIT's code/heap
+    footprint bounded.  Only the package-level ``lru_cache`` factories
+    pin executables across modules; per-test jits die with the test.
+    """
+    from pb_chime5_tpu.parallel import mesh as _mesh
+    _mesh.sharded_gss_fn.cache_clear()
+    _mesh.sharded_gss_cached_fn.cache_clear()
+    jax.clear_caches()
+    gc.collect()
+
+
+def pytest_runtest_teardown(item, nextitem):
+    # Module boundary (or end of session) in the FULL lane only: the
+    # fast lane (-m "not slow") never accumulates enough compiled code
+    # to crash, and clearing would re-pay cross-module compiles against
+    # its enforced wall-clock budget (tests/test_ci_budget.py).
+    markexpr = getattr(item.config.option, 'markexpr', '') or ''
+    if 'not slow' in markexpr:
+        return
+    if nextitem is None or item.fspath != nextitem.fspath:
+        _purge_compile_state()
 
 
 def pytest_configure(config):
