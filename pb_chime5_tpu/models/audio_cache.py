@@ -142,7 +142,10 @@ class SessionAudioCache:
         self._executor = None
         self._finalizer = None
         # done-callbacks of discarded in-flight prefetches mutate stats
-        # from the worker thread; serialize those against the owner
+        # from the worker thread; every mutation of a key that callback
+        # touches (refill_mb / prefetch_wasted / prefetch_s, plus the
+        # blocks they sit in) holds this lock on the owner thread too,
+        # so no `+=` read-modify-write can lose an update
         self._stats_lock = threading.Lock()
         self._pending = None          # dict(bases, spec, future) or None
         self._armed = True            # one prefetch per resident window
@@ -193,9 +196,10 @@ class SessionAudioCache:
         # transfer-bound wall clock is observable, not inferred
         self._bases = [max(0, s - self.margin) for s in starts]
         self._buf, nbytes, dt = self._load_window(per_array, self._bases)
-        self.stats['refills'] += 1
-        self.stats['refill_mb'] += round(nbytes / 1e6, 3)
-        self.stats['refill_s'] += round(dt, 4)
+        with self._stats_lock:
+            self.stats['refills'] += 1
+            self.stats['refill_mb'] += round(nbytes / 1e6, 3)
+            self.stats['refill_s'] += round(dt, 4)
 
     # -- speculative next-window prefetch ----------------------------------
 
@@ -290,7 +294,8 @@ class SessionAudioCache:
             buf, nbytes, dt = pending['future'].result()
         except Exception:
             self._prefetch_dead += 1
-            self.stats['prefetch_wasted'] += 1
+            with self._stats_lock:
+                self.stats['prefetch_wasted'] += 1
             return False
         waited = time.perf_counter() - t0
         covers = (
@@ -299,17 +304,19 @@ class SessionAudioCache:
                     for s, b in zip(starts, pending['bases'])))
         if not covers:
             self._prefetch_dead += 1
-            self.stats['prefetch_wasted'] += 1
-            self.stats['refill_mb'] += round(nbytes / 1e6, 3)
+            with self._stats_lock:
+                self.stats['prefetch_wasted'] += 1
+                self.stats['refill_mb'] += round(nbytes / 1e6, 3)
             return False
         self._prefetch_dead = 0
         self._bases = pending['bases']
         self._buf = buf
-        self.stats['refills'] += 1
-        self.stats['prefetch_hits'] += 1
-        self.stats['refill_mb'] += round(nbytes / 1e6, 3)
-        self.stats['refill_s'] += round(waited, 4)
-        self.stats['prefetch_s'] += round(dt, 4)
+        with self._stats_lock:
+            self.stats['refills'] += 1
+            self.stats['prefetch_hits'] += 1
+            self.stats['refill_mb'] += round(nbytes / 1e6, 3)
+            self.stats['refill_s'] += round(waited, 4)
+            self.stats['prefetch_s'] += round(dt, 4)
         return True
 
     # -- public -----------------------------------------------------------
